@@ -1,0 +1,386 @@
+"""Deterministic synthetic interleaved-documents corpus (FIXTURES.md §1-3).
+
+Shape matches BASELINE.json input_hint exactly:
+
+  documents(doc_id string,
+            spans array<struct<kind:string, text:string,
+                               media_ref:string, offset:int>>)
+
+- media spans carry one DXF entity payload as canonical JSON (sorted keys,
+  compact separators) mirroring the reference triple
+  {entity_type, name, handle, layer, attributes, geometries, extra_data}
+  (postgis_entity_repository.py:238-243); per-type geometry dicts follow
+  dxf_reader.py extractors (see FIXTURES.md §2 table).
+- generation is a pure function of (seed, doc_index): built with
+  spark.range(n) → mapInPandas, so it scales to any corpus size with no
+  driver bottleneck and is bit-reproducible at any parallelism.
+- ~5% of docs are "hot sheets": all coordinates inside one small window so
+  their cell covers collide (skew / salting tests).
+- payload extra_data is exactly {"dxftype": etype, "layer_name": layer}
+  (+ {"block_name", "block_entities"} for INSERT) — a documented contract
+  that makes media_ref reconstructable from the decoded data_json
+  (see operators/reconstruct.py round-trip invariant).
+
+Also generates zones(zone_id, kind, name, xmin, ymin, xmax, ymax,
+geometry_wkb, params_json): the polygon side for point-in-polygon joins —
+a deterministic grid of rectangles + circles (100-pt tessellation,
+postgis_entity_converter.py:272) + concave polygons.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .geometry import tessellate as tess
+from .geometry.wkb import wkb_polygon
+
+SEED = 42
+EXTENT = 8192.0  # world is [0, EXTENT)^2 — power of two for the quadtree grid
+HOT_FRACTION = 0.05
+HOT_WINDOW = (1000.0, 1000.0, 1080.0, 1080.0)  # dense CAD sheet extent
+
+# 28-layer pool incl. Russian names (mirrors reference fixture ex3)
+LAYERS = [
+    "Фундамент", "Отметки фундамента", "Стены", "Перекрытия", "Кровля",
+    "Оси", "Размеры", "Текст", "Арматура", "Колонны", "Балки", "Лестницы",
+    "Окна", "Двери", "Сети_Водопровод", "Сети_Канализация", "Сети_Отопление",
+    "Электрика", "Вентиляция", "Благоустройство", "Дороги", "Газоны",
+    "walls_ext", "annotation", "dims-aux", "0", "Defpoints", "TITLE_BLOCK",
+]
+
+ENTITY_WEIGHTS = [
+    ("TEXT", 0.30), ("POINT", 0.25), ("LWPOLYLINE", 0.15), ("CIRCLE", 0.08),
+    ("INSERT", 0.06), ("LINE", 0.05), ("ARC", 0.04), ("SPLINE", 0.02),
+    ("MULTILEADER", 0.01), ("HATCH", 0.01),
+    # long tail
+    ("ELLIPSE", 0.005), ("LEADER", 0.005), ("3DFACE", 0.004), ("SOLID", 0.004),
+    ("TRACE", 0.002), ("RAY", 0.002), ("XLINE", 0.002), ("HELIX", 0.002),
+    ("VIEWPORT", 0.002), ("IMAGE", 0.002), ("SHAPE", 0.002), ("MESH", 0.002),
+    ("3DSOLID", 0.002), ("DIMENSION", 0.002), ("MTEXT", 0.01), ("ATTRIB", 0.002),
+    ("POLYLINE", 0.01), ("IMAGEDEF", 0.001), ("WIPEOUT", 0.001),
+]
+
+TEXT_WORDS_EN = ["foundation", "mark", "level", "axis", "beam", "column",
+                 "slab", "detail", "section", "view", "scale", "note",
+                 "rebar", "concrete", "steel", "grade", "bolt", "weld"]
+TEXT_WORDS_RU = ["отметка", "фундамент", "уровень", "ось", "балка", "колонна",
+                 "плита", "узел", "разрез", "вид", "масштаб", "примечание",
+                 "арматура", "бетон", "сталь", "класс", "болт", "шов"]
+
+BLOCK_NAMES = ["DOOR", "WINDOW", "BOLT_M12", "FRAME_A", "FRAME_B", "TREE", "NORTH_ARROW"]
+
+SPANS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+
+def doc_id_for(index: int) -> str:
+    """Deterministic UUID-like id from row index."""
+    return str(uuid.UUID(int=(index * 0x9E3779B97F4A7C15 + SEED) % (1 << 128)))
+
+
+def _jdump(obj) -> str:
+    return json.dumps(obj, ensure_ascii=False, sort_keys=True, separators=(",", ":"))
+
+
+def canonical_media_ref(etype, name, handle, layer, attributes, geometries, extra_data) -> str:
+    """THE canonical payload serialization — generator and reconstructor
+    must both use this for span-sequence equality to be byte-exact."""
+    return _jdump({
+        "attributes": attributes,
+        "entity_type": etype,
+        "extra_data": extra_data,
+        "geometries": geometries,
+        "handle": handle,
+        "layer": layer,
+        "name": name,
+    })
+
+
+def _rnd_pt(rng, lo, hi, z_scale=10.0):
+    return [round(float(rng.uniform(lo[0], hi[0])), 6),
+            round(float(rng.uniform(lo[1], hi[1])), 6),
+            round(float(rng.uniform(0, z_scale)), 6)]
+
+
+def _make_geometries(rng: np.random.Generator, etype: str, lo, hi) -> dict:
+    """Per-type geometry dict per FIXTURES.md §2 (dxf_reader.py extractors)."""
+    p = lambda: _rnd_pt(rng, lo, hi)
+    r = lambda a, b: round(float(rng.uniform(a, b)), 6)
+    if etype == "POINT":
+        return {"location": p()}
+    if etype == "LINE":
+        return {"start": p(), "end": p()}
+    if etype in ("POLYLINE",):
+        n = int(rng.integers(2, 9))
+        return {"points": [p() for _ in range(n)], "is_closed": bool(rng.random() < 0.4)}
+    if etype == "LWPOLYLINE":
+        n = int(rng.integers(2, 11))
+        pts = [[*_rnd_pt(rng, lo, hi)[:2], r(0, 2), r(0, 2), r(-1, 1)] for _ in range(n)]
+        return {"points": pts, "is_closed": bool(rng.random() < 0.5),
+                "elevation": r(0, 5), "const_width": r(0, 1)}
+    if etype == "CIRCLE":
+        return {"center": p(), "radius": r(0.5, 50)}
+    if etype == "ARC":
+        return {"center": p(), "radius": r(0.5, 50),
+                "start_angle": r(0, 360), "end_angle": r(0, 360)}
+    if etype == "ELLIPSE":
+        return {"center": p(), "major_axis": [r(1, 40), r(1, 40), 0.0],
+                "ratio": r(0.1, 1.0), "start_param": r(0, 3),
+                "end_param": r(3, 6.283), "extrusion": [0.0, 0.0, 1.0]}
+    if etype == "SPLINE":
+        n = int(rng.integers(4, 13))
+        return {"points": [p() for _ in range(n)], "degree": int(rng.integers(2, 4))}
+    if etype in ("TEXT", "MTEXT"):
+        return {"insert": p(), "text": _rnd_text(rng), "height": r(1, 10),
+                "rotation": r(0, 360), "color": int(rng.integers(0, 257)),
+                "true_color": None, "transparency": None}
+    if etype == "ATTRIB":
+        return {"insert": p(), "tag": f"TAG{int(rng.integers(0, 20))}",
+                "text": _rnd_text(rng), "color": int(rng.integers(0, 257)),
+                "true_color": None, "transparency": None}
+    if etype == "INSERT":
+        nat = int(rng.integers(0, 4))
+        return {"insert": p(), "name": str(rng.choice(BLOCK_NAMES)),
+                "xscale": r(0.5, 3), "yscale": r(0.5, 3), "zscale": 1.0,
+                "rotation": r(0, 360),
+                "insert_attribs": [
+                    {"tag": f"TAG{int(rng.integers(0, 20))}", "text": _rnd_text(rng),
+                     "insert": p(), "height": r(1, 5), "rotation": r(0, 360),
+                     "layer": "0", "color": int(rng.integers(0, 257))}
+                    for _ in range(nat)]}
+    if etype == "MULTILEADER":
+        nl = int(rng.integers(1, 4))
+        return {"text": _rnd_text(rng), "base_point": p(),
+                "leader_lines": [[p() for _ in range(int(rng.integers(2, 5)))] for _ in range(nl)],
+                "leader_properties": [
+                    {"attachment_direction": int(rng.integers(0, 2)),
+                     "dogleg_length": r(0, 10),
+                     "dogleg_vector": [1.0, 0.0, 0.0]} for _ in range(nl)],
+                "char_height": r(1, 6), "rotation": r(0, 360)}
+    if etype in ("3DFACE", "SOLID", "TRACE"):
+        v0, v1, v2 = p(), p(), p()
+        v3 = list(v0) if rng.random() < 0.3 else p()  # 30% triangles
+        return {"vtx0": v0, "vtx1": v1, "vtx2": v2, "vtx3": v3}
+    if etype == "HATCH":
+        nb = int(rng.integers(1, 4))
+        boundaries = [[p() for _ in range(int(rng.integers(3, 9)))] for _ in range(nb)]
+        paths = []
+        for b in boundaries:
+            if rng.random() < 0.7:
+                paths.append({"path_type": "polyline", "is_closed": True,
+                              "vertices": [q[:2] for q in b]})
+            else:
+                paths.append({"path_type": "edge", "edges": [
+                    {"edge_type": "line", "start": b[i][:2], "end": b[i + 1][:2]}
+                    for i in range(len(b) - 1)]})
+        return {"boundaries": boundaries, "hatch_paths": paths,
+                "pattern_name": str(rng.choice(["SOLID", "ANSI31", "CROSS"])),
+                "solid_fill": bool(rng.random() < 0.5)}
+    if etype == "LEADER":
+        n = int(rng.integers(2, 6))
+        return {"vertices": [p() for _ in range(n)], "text": _rnd_text(rng)}
+    if etype in ("RAY", "XLINE"):
+        ang = rng.uniform(0, 2 * math.pi)
+        return {"start": p(), "unit_vector": [round(math.cos(ang), 6), round(math.sin(ang), 6), 0.0]}
+    if etype == "HELIX":
+        return {"base_point": p(), "axis_vector": [0.0, 0.0, 1.0],
+                "radius": r(1, 20), "turns": int(rng.integers(1, 6)), "height": r(5, 50)}
+    if etype == "VIEWPORT":
+        return {"center": p(), "width": r(10, 200), "height": r(10, 200)}
+    if etype == "IMAGE":
+        return {"insert": p(), "u_pixel": [r(0, 1), 0.0, 0.0], "v_pixel": [0.0, r(0, 1), 0.0],
+                "image_def_handle": f"{int(rng.integers(0, 1 << 24)):X}"}
+    if etype == "IMAGEDEF":
+        return {"filename": f"img_{int(rng.integers(0, 1000))}.png"}
+    if etype == "SHAPE":
+        return {"insert": p(), "name": f"SHP{int(rng.integers(0, 10))}", "size": r(1, 10)}
+    if etype == "MESH":
+        nv = int(rng.integers(4, 9))
+        return {"vertices": [p() for _ in range(nv)],
+                "faces": [[0, 1, 2], [1, 2, 3]]}
+    if etype in ("3DSOLID", "BODY", "REGION"):
+        return {"acis_data": f"ACIS:{int(rng.integers(0, 1 << 30))}"}
+    return {}  # DIMENSION + stubs: attributes only
+
+
+def _rnd_text(rng: np.random.Generator) -> str:
+    pool = TEXT_WORDS_RU if rng.random() < 0.4 else TEXT_WORDS_EN
+    n = int(rng.integers(1, 5))
+    idx = rng.integers(0, len(pool), size=n)
+    return " ".join(pool[i] for i in idx)
+
+
+_TYPES = [t for t, _ in ENTITY_WEIGHTS]
+_CUMW = np.cumsum([w for _, w in ENTITY_WEIGHTS])
+_CUMW = _CUMW / _CUMW[-1]
+
+
+def build_document(index: int) -> tuple[str, list]:
+    """Pure function (seed, index) -> (doc_id, spans)."""
+    rng = np.random.default_rng(np.random.PCG64(SEED * 1_000_003 + index))
+    did = doc_id_for(index)
+    n_spans = int(rng.integers(5, 201))
+    hot = rng.random() < HOT_FRACTION
+    if hot:
+        lo = (HOT_WINDOW[0], HOT_WINDOW[1])
+        hi = (HOT_WINDOW[2], HOT_WINDOW[3])
+    else:
+        cx, cy = rng.uniform(0, EXTENT - 400, size=2)
+        lo, hi = (cx, cy), (cx + 400.0, cy + 400.0)
+    n_layers = int(rng.integers(1, 9))
+    layer_pool = [LAYERS[i] for i in rng.choice(len(LAYERS), size=n_layers, replace=False)]
+    spans = []
+    for off in range(n_spans):
+        if rng.random() < 0.30:
+            spans.append({"kind": "text", "text": _rnd_text(rng), "media_ref": "", "offset": off})
+            continue
+        etype = _TYPES[int(np.searchsorted(_CUMW, rng.random()))]
+        layer = layer_pool[int(rng.integers(0, n_layers))]
+        geoms = _make_geometries(rng, etype, lo, hi)
+        handle = f"{(index << 20) + off:x}"
+        attributes = {
+            "color": int(rng.integers(0, 257)), "linetype": str(rng.choice(["BYLAYER", "CONTINUOUS", "DASHED"])),
+            "lineweight": int(rng.choice([-1, 0, 13, 25, 50])), "ltscale": 1.0,
+            "invisible": 0, "true_color": None, "transparency": None,
+        }
+        extra = {"dxftype": etype, "layer_name": layer}
+        if etype == "INSERT":
+            extra["block_name"] = geoms["name"]
+            extra["block_entities"] = []  # depth handled via block defs table later
+        ref = canonical_media_ref(etype, f"{etype}_{off}", handle, layer, attributes, geoms, extra)
+        spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+    return did, spans
+
+
+def _gen_batches(batches):
+    for pdf in batches:
+        rows = [build_document(int(i)) for i in pdf["id"]]
+        yield pd.DataFrame({"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]})
+
+
+def docs_for_sf(sf: float) -> int:
+    return max(50, int(round(300_000 * sf)))
+
+
+def generate_documents(spark: SparkSession, n_docs: int, num_partitions: int | None = None) -> DataFrame:
+    num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism * 2)
+    return (
+        spark.range(0, n_docs, numPartitions=min(num_partitions, n_docs))
+        .mapInPandas(_gen_batches, schema=SPANS_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# zones — polygon side for PIP joins (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+def build_zones() -> pd.DataFrame:
+    rng = np.random.default_rng(np.random.PCG64(SEED + 777))
+    rows = []
+
+    def add(kind, name, ring, params):
+        ring = np.asarray(ring, dtype=np.float64)
+        if ring.shape[1] == 2:
+            ring = np.hstack([ring, np.zeros((ring.shape[0], 1))])
+        rows.append({
+            "zone_id": f"z{len(rows):04d}", "kind": kind, "name": name,
+            "xmin": float(ring[:, 0].min()), "ymin": float(ring[:, 1].min()),
+            "xmax": float(ring[:, 0].max()), "ymax": float(ring[:, 1].max()),
+            "geometry_wkb": wkb_polygon(ring),
+            "params_json": _jdump(params),
+        })
+
+    # 8x8 grid of rects over ~60% of the extent (staggered gaps)
+    cell = EXTENT / 10.0
+    for gx in range(8):
+        for gy in range(8):
+            if (gx + gy) % 3 == 2:
+                continue
+            x0 = gx * cell * 1.25 + 40.0
+            y0 = gy * cell * 1.25 + 40.0
+            x1, y1 = x0 + cell, y0 + cell
+            add("rect", f"grid_{gx}_{gy}",
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
+
+    # circles (100-pt tessellation like the reference CIRCLE converter),
+    # one pinned onto the hot window
+    centers = [((HOT_WINDOW[0] + HOT_WINDOW[2]) / 2, (HOT_WINDOW[1] + HOT_WINDOW[3]) / 2, 120.0)]
+    for _ in range(6):
+        centers.append((float(rng.uniform(500, EXTENT - 500)), float(rng.uniform(500, EXTENT - 500)),
+                        float(rng.uniform(100, 600))))
+    for i, (cx, cy, r) in enumerate(centers):
+        ring = tess.circle_points(cx, cy, 0.0, r)
+        add("circle", f"circle_{i}", ring, {"cx": cx, "cy": cy, "r": r})
+
+    # concave polygons (deterministic star-ish shapes)
+    for i in range(5):
+        cx, cy = float(rng.uniform(800, EXTENT - 800)), float(rng.uniform(800, EXTENT - 800))
+        n = 10
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        rad = np.where(np.arange(n) % 2 == 0, rng.uniform(300, 700), rng.uniform(80, 250))
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        add("poly", f"star_{i}", ring, {"cx": cx, "cy": cy,
+                                        "ring": [[round(float(x), 6), round(float(y), 6)] for x, y in ring]})
+    return pd.DataFrame(rows)
+
+
+ZONES_SCHEMA = T.StructType([
+    T.StructField("zone_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+    T.StructField("geometry_wkb", T.BinaryType()),
+    T.StructField("params_json", T.StringType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# on-disk cache
+# ---------------------------------------------------------------------------
+
+REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "corpus")
+
+
+def corpus_dir(sf: float) -> str:
+    return os.path.join(REPO_DATA, f"sf{sf:g}")
+
+
+def ensure_corpus(spark: SparkSession, sf: float) -> str:
+    """Generate (once) and return the corpus dir holding documents/ + zones/."""
+    d = corpus_dir(sf)
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        n = docs_for_sf(sf)
+        generate_documents(spark, n).write.mode("overwrite").parquet(os.path.join(d, "documents"))
+        spark.createDataFrame(build_zones(), schema=ZONES_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "zones"))
+        with open(marker, "w") as f:
+            f.write(f"n_docs={n}\nseed={SEED}\n")
+    return d
+
+
+def load_documents(spark: SparkSession, sf: float) -> DataFrame:
+    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf), "documents"))
+
+
+def load_zones(spark: SparkSession, sf: float) -> DataFrame:
+    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf), "zones"))

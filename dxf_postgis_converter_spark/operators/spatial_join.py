@@ -1,0 +1,143 @@
+"""Point-in-polygon spatial join (J10) — cell-cover equi-join + exact refine.
+
+Plan shape (SURVEY §2.4 J10, §4.3/§4.4):
+
+  zones  --covers(res)-->  zone_cells(zone_id, cell [, salt])     [JVM]
+  probes --cell(res)---->  probe cell [, salt]                    [JVM]
+  equi-join on cell (broadcast when the cover table is small,
+  shuffled otherwise; optional salting for hot cells)             [JVM]
+  exact refine: rect zones by pure column compare; circle/poly
+  zones by ONE Arrow-batched mapInPandas ray-casting pass          [mixed]
+
+Scale notes:
+- the cover table is tiny relative to probes (zones × cells-per-zone), so
+  the default is an explicit ``broadcast()`` — no shuffle of the 10^12-row
+  probe side at all; set broadcast_zones=False for a truly huge polygon
+  side and AQE handles the shuffled variant.
+- salting (n_salt>1) splits each hot cell's probe stream across n_salt
+  reducers by replicating the zone-cover rows — use with the shuffled
+  path on skewed corpora (dense CAD sheets; see skew.py for detection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry.predicates import points_in_polygon
+from ..geometry.wkb import parse_wkb
+from ..index.grid import cell_col, covers_col
+
+DEFAULT_RES = 6  # cell = 128 world units; zone covers stay small
+
+
+def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1) -> DataFrame:
+    """zones(zone_id, kind, xmin..ymax, geometry_wkb) → one row per
+    (zone, covering cell [, salt]); all column arithmetic."""
+    cover = zones.select(
+        "zone_id", "kind", "geometry_wkb",
+        F.col("xmin").alias("z_xmin"), F.col("ymin").alias("z_ymin"),
+        F.col("xmax").alias("z_xmax"), F.col("ymax").alias("z_ymax"),
+        F.explode(covers_col(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res)).alias("cell"),
+    )
+    if n_salt > 1:
+        cover = cover.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return cover
+
+
+_REFINE_KEEP_ERR = "refine batch missing zone geometry"
+
+
+def _refine_batches(batches, x_col: str, y_col: str):
+    """Exact PIP per (zone within batch): parse each zone ring once,
+    vectorized ray casting over all its candidate points."""
+    ring_cache: dict[str, np.ndarray] = {}
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.reset_index(drop=True)
+        keep = np.zeros(len(pdf), dtype=bool)
+        for zid, grp in pdf.groupby("zone_id", sort=False):
+            ring = ring_cache.get(zid)
+            if ring is None:
+                code, rings = parse_wkb(bytes(grp["geometry_wkb"].iloc[0]))
+                ring = rings[0][:, :2]
+                ring_cache[zid] = ring
+            keep[grp.index.to_numpy()] = points_in_polygon(
+                grp[x_col].to_numpy(), grp[y_col].to_numpy(), ring)
+        yield pdf[keep]
+
+
+def point_in_polygon_join(
+    probes: DataFrame,
+    zones: DataFrame,
+    res: int = DEFAULT_RES,
+    x_col: str = "x",
+    y_col: str = "y",
+    broadcast_zones: bool = True,
+    n_salt: int = 1,
+    probe_id_col: str = "handle",
+) -> DataFrame:
+    """probes(any cols incl. x_col/y_col) ⋈ zones → probe cols + zone_id.
+
+    Exact containment (boundary-inclusive ray casting ≙ shapely covers).
+    """
+    cover = zone_cover_cells(zones, res=res, n_salt=n_salt)
+    if broadcast_zones:
+        cover = F.broadcast(cover)
+
+    probe_cols = probes.columns
+    p = probes.withColumn("cell", cell_col(F.col(x_col), F.col(y_col), res))
+    join_keys = ["cell"]
+    if n_salt > 1:
+        p = p.withColumn("salt", F.pmod(F.xxhash64(F.col(probe_id_col)), F.lit(n_salt)).cast("int"))
+        join_keys.append("salt")
+
+    cand = p.join(cover, join_keys, "inner")
+
+    # rect zones: exact containment is column arithmetic — never leaves JVM
+    rect = cand.filter(
+        (F.col("kind") == "rect")
+        & (F.col(x_col) >= F.col("z_xmin")) & (F.col(x_col) <= F.col("z_xmax"))
+        & (F.col(y_col) >= F.col("z_ymin")) & (F.col(y_col) <= F.col("z_ymax"))
+    ).select(*probe_cols, "zone_id")
+
+    # circle/polygon zones: Arrow-batched exact refine
+    other = cand.filter(F.col("kind") != "rect")
+    refine_in = other.select(*probe_cols, "zone_id", "geometry_wkb")
+    schema = T.StructType(
+        [probes.schema[c] for c in probe_cols]
+        + [T.StructField("zone_id", T.StringType()), T.StructField("geometry_wkb", T.BinaryType())]
+    )
+    refined = refine_in.mapInPandas(
+        lambda it: _refine_batches(it, x_col, y_col), schema=schema
+    ).select(*probe_cols, "zone_id")
+
+    return rect.unionByName(refined)
+
+
+def bbox_intersects_join(
+    probes: DataFrame,
+    zones: DataFrame,
+    res: int = DEFAULT_RES,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """Generic bbox⋈zone-bbox intersects join for non-point geometries:
+    probe bboxes cover cells too (1 geom → K cells), dedup candidate pairs,
+    then rect-rect intersect by columns. Matches the reference's
+    bbox-based INTERSECT semantics (P1) zone-side."""
+    cover = zone_cover_cells(zones, res=res)
+    if broadcast_zones:
+        cover = F.broadcast(cover)
+    probe_cols = probes.columns
+    p = probes.withColumn(
+        "cell", F.explode(covers_col(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res)))
+    cand = p.join(cover, "cell", "inner").filter(
+        (F.col("xmin") <= F.col("z_xmax")) & (F.col("xmax") >= F.col("z_xmin"))
+        & (F.col("ymin") <= F.col("z_ymax")) & (F.col("ymax") >= F.col("z_ymin"))
+    )
+    # a probe bbox and a zone can share several cells → dedup the pair
+    return cand.select(*probe_cols, "zone_id").dropDuplicates(list(probe_cols) + ["zone_id"])

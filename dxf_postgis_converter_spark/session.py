@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a multi-executor cluster at 100 TB; tested on local[N].
+All settings are plain public Spark confs — AQE on (runtime re-plan +
+skew-join backstop), Arrow on (every Python crossing is batched).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dxf-postgis-converter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so the same code path runs under spark-submit on a real cluster
+    (where master is provided externally and this arg stays None).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle_partitions()))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _default_shuffle_partitions() -> int:
+    """Shuffle partitions ∝ cores (≈2x) so scaling N→4N keeps partition
+    counts proportional — required for the ≥0.8 scaling-efficiency target."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        n = int(cpus) if cpus else os.cpu_count() or 8
+    except ValueError:
+        n = os.cpu_count() or 8
+    return max(8, 2 * n)

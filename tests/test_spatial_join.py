@@ -1,0 +1,62 @@
+"""PIP join & bbox-intersects join vs brute-force O(N*M) oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.geometry.predicates import points_in_polygon
+from dxf_postgis_converter_spark.geometry.wkb import parse_wkb
+from dxf_postgis_converter_spark.operators.spatial_join import (
+    bbox_intersects_join, point_in_polygon_join,
+)
+
+
+@pytest.fixture(scope="module")
+def points_df(entities_df):
+    return entities_df.filter("geom_type = 'POINT'").select(
+        "doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y")).cache()
+
+
+@pytest.fixture(scope="module")
+def zone_rings(zones_df):
+    out = {}
+    for r in zones_df.collect():
+        code, rings = parse_wkb(bytes(r.geometry_wkb))
+        out[r.zone_id] = rings[0][:, :2]
+    return out
+
+
+def brute_pip(points, zone_rings):
+    pairs = set()
+    px = np.array([p[2] for p in points])
+    py = np.array([p[3] for p in points])
+    for zid, ring in zone_rings.items():
+        mask = points_in_polygon(px, py, ring)
+        for i in np.nonzero(mask)[0]:
+            pairs.add((points[i][0], points[i][1], zid))
+    return pairs
+
+
+@pytest.mark.parametrize("res,n_salt,broadcast", [(6, 1, True), (8, 1, False), (6, 4, True)])
+def test_pip_join_vs_bruteforce(points_df, zones_df, zone_rings, res, n_salt, broadcast):
+    got = {(r.doc_id, r.handle, r.zone_id) for r in point_in_polygon_join(
+        points_df, zones_df, res=res, n_salt=n_salt, broadcast_zones=broadcast,
+        probe_id_col="handle").collect()}
+    pts = [(r.doc_id, r.handle, r.x, r.y) for r in points_df.collect()]
+    exp = brute_pip(pts, zone_rings)
+    assert got == exp
+    assert len(exp) > 50  # non-degenerate
+
+
+def test_bbox_intersects_join_vs_bruteforce(entities_df, zones_df):
+    probes = entities_df.filter("xmin is not null") \
+        .select("doc_id", "handle", "xmin", "ymin", "xmax", "ymax")
+    got = {(r.doc_id, r.handle, r.zone_id)
+           for r in bbox_intersects_join(probes, zones_df, res=6).collect()}
+    zb = [(r.zone_id, r.xmin, r.ymin, r.xmax, r.ymax) for r in zones_df.collect()]
+    exp = set()
+    for p in probes.collect():
+        for zid, zx0, zy0, zx1, zy1 in zb:
+            if p.xmin <= zx1 and p.xmax >= zx0 and p.ymin <= zy1 and p.ymax >= zy0:
+                exp.add((p.doc_id, p.handle, zid))
+    assert got == exp
