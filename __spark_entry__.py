@@ -1,38 +1,607 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       — flagship spatial pipeline at sf0.001.
+queries()          — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()       — DuckDB-runnable SQL equivalents (value-level parity).
+
+Float policy: money-ish sums go through DECIMAL(18,2) then cast to DOUBLE
+(bit-identical across engines and aggregation orders); ratios/cosines are
+rounded to 6 dp on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.functions.decode import decode_documents, text_spans
+from dxf_postgis_converter_spark.functions.naming import (
+    CYR, normalize_handle, short_id, table_name,
+)
+from dxf_postgis_converter_spark.functions.text import (
+    fingerprint, lang_id, quality_score, token_count,
+)
+from dxf_postgis_converter_spark.index.grid import cell_size
+from dxf_postgis_converter_spark.operators.area_selection import select_handles
+from dxf_postgis_converter_spark.operators.dedup import exact_duplicates
+from dxf_postgis_converter_spark.operators.similarity import brute_force_topk
+from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
+from dxf_postgis_converter_spark.sources.tables import (
+    corpus_documents, corpus_zones, load_table, sf_of_dir,
+)
+
+CORPUS_SF001 = "/root/repo/data/corpus/sf0.01"
+DOCS_PQ = f"'{CORPUS_SF001}/documents/*.parquet'"
+ZONES_PQ = f"'{CORPUS_SF001}/zones/*.parquet'"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Decode the interleaved corpus → point-in-polygon join against zones
+    → per-zone entity counts by layer. Exercises scan, explode, the decode
+    UDF, the cell-cover broadcast join and the exact refine."""
+    docs = corpus_documents(spark, "/root/testdata/sf0.001")
+    zones = corpus_zones(spark, "/root/testdata/sf0.001")
+    ents = decode_documents(docs)
+    pts = ents.filter(F.col("geom_type") == "POINT").select(
+        "doc_id", "handle", "layer",
+        F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    pip = point_in_polygon_join(pts, zones, res=6)
+    return (
+        pip.groupBy("zone_id", "layer").agg(F.count("*").alias("n_entities"))
+        .orderBy("zone_id", "layer")
+    )
 
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _dec_sum(col, alias, scale=2):
+    return F.round(F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale).alias(alias)
+
+
+def _media(spark, sf_dir):
+    return decode_documents(corpus_documents(spark, sf_dir))
+
+
+_SQL_MEDIA = (
+    "SELECT doc_id, s.media_ref AS media_ref, s.offset AS span_offset, "
+    "json_extract_string(NULLIF(s.media_ref,''),'$.entity_type') AS entity_type, "
+    "json_extract_string(NULLIF(s.media_ref,''),'$.layer') AS layer, "
+    "json_extract_string(NULLIF(s.media_ref,''),'$.handle') AS handle "
+    f"FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ}) WHERE s.kind='media'"
+)
+
+
+def _translit_sql(expr: str) -> str:
+    """Nested replace() chain equal to functions.naming.transliterate."""
+    out = expr
+    for src, dst in CYR.items():
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
+
+
+def _sanitize_sql(expr: str) -> str:
+    return ("regexp_replace(regexp_replace(lower(" + _translit_sql(expr) +
+            "), '[^a-z0-9_]+', '_', 'g'), '_+', '_', 'g')")
+
+
+# normalized text + md5 fingerprint (functions.text.fingerprint parity)
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+             "len(regexp_split_to_array(trim(text), '\\s+')) END")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- relational core (testdata tables) ----------------
 
+    def q_pricing_summary(spark, sf_dir):  # A3/A4; TPC-H Q1 shape
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _dec_sum("l_quantity", "sum_qty"),
+                _dec_sum("l_extendedprice", "sum_base_price"),
+                F.count("*").alias("count_order"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                        / F.count("*"), 6).alias("avg_qty"),
+            )
+        )
+    q["q_pricing_summary"] = q_pricing_summary
+
+    def q_filter_project(spark, sf_dir):  # P6/P11
+        o = load_table(spark, sf_dir, "orders")
+        return o.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_custkey",
+            F.round((F.col("o_totalprice").cast("decimal(18,6)") * F.lit(0.9))
+                    .cast("double"), 4).alias("discounted"))
+    q["q_filter_project"] = q_filter_project
+
+    def q_join_customer_orders(spark, sf_dir):  # J2
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"), _dec_sum("o_totalprice", "total_price"))
+        )
+    q["q_join_customer_orders"] = q_join_customer_orders
+
+    def q_semi_join(spark, sf_dir):  # J4/P2
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+    q["q_semi_join"] = q_semi_join
+
+    def q_anti_join(spark, sf_dir):  # J5 (ADD_OBJECTS insert-if-absent)
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    q["q_anti_join"] = q_anti_join
+
+    def q_upsert_merge(spark, sf_dir):  # J6/J7 (MERGE semantics as full-outer reconcile)
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_acctbal").alias("old_bal"))
+        src = (load_table(spark, sf_dir, "orders").groupBy("o_custkey")
+               .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4)
+                    .alias("new_bal")))
+        merged = c.join(src, c.c_custkey == src.o_custkey, "full_outer")
+        return merged.select(
+            F.coalesce("c_custkey", "o_custkey").alias("key"),
+            F.round(F.coalesce("new_bal", "old_bal"), 4).alias("balance"),
+            F.when(F.col("o_custkey").isNull(), F.lit("kept"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated")).alias("action"),
+        )
+    q["q_upsert_merge"] = q_upsert_merge
+
+    def q_topk_window(spark, sf_dir):  # W / row_number (J11's ranking core)
+        o = load_table(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        return (o.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+                .select("o_orderpriority", "o_orderkey",
+                        F.col("o_totalprice").alias("totalprice"), "rank"))
+    q["q_topk_window"] = q_topk_window
+
+    def q_orderby_limit(spark, sf_dir):  # W1/W2
+        p = load_table(spark, sf_dir, "part")
+        return p.orderBy(F.desc("p_retailprice"), F.col("p_partkey")) \
+            .select("p_partkey", "p_name", "p_retailprice").limit(10)
+    q["q_orderby_limit"] = q_orderby_limit
+
+    def q_union_distinct(spark, sf_dir):  # SO1
+        c = load_table(spark, sf_dir, "customer")
+        a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+        return a.union(b).distinct()
+    q["q_union_distinct"] = q_union_distinct
+
+    def q_except(spark, sf_dir):  # SO4/SO5
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey"))
+        return c.select("c_custkey").exceptAll(big.distinct())
+    q["q_except"] = q_except
+
+    def q_counts_exists(spark, sf_dir):  # A1/A2
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        per = c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+        return (n.join(per, n.n_nationkey == per.c_nationkey, "left")
+                .select("n_name",
+                        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                        (F.coalesce("n_customers", F.lit(0)) > 0).alias("has_customers")))
+    q["q_counts_exists"] = q_counts_exists
+
+    def q_selection_propagation(spark, sf_dir):  # P3/P5/A8
+        o = load_table(spark, sf_dir, "orders")
+        sel = o.withColumn("selected", F.col("o_orderstatus") == "F")
+        return sel.groupBy("o_custkey").agg(
+            F.max(F.col("selected").cast("int")).cast("boolean").alias("any_selected"),
+            F.count("*").alias("n_orders"))
+    q["q_selection_propagation"] = q_selection_propagation
+
+    def q_events_hourly(spark, sf_dir):  # batch shape of the streaming agg
+        e = load_table(spark, sf_dir, "events")
+        return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     _dec_sum("value", "total_value")))
+    q["q_events_hourly"] = q_events_hourly
+
+    def q_helmert(spark, sf_dir):  # F7 conformal transform as column expr
+        p = load_table(spark, sf_dir, "part")
+        a, b, tx, ty = 2.0, 0.5, 100.0, -50.0
+        return p.select(
+            "p_partkey",
+            F.round(F.lit(tx) + F.lit(a) * F.col("p_size") - F.lit(b) * F.col("p_retailprice"), 6).alias("x2"),
+            F.round(F.lit(ty) + F.lit(b) * F.col("p_size") + F.lit(a) * F.col("p_retailprice"), 6).alias("y2"),
+        )
+    q["q_helmert"] = q_helmert
+
+    # ---------------- corpus: interleaved documents ----------------
+
+    def q_span_kind_counts(spark, sf_dir):
+        d = corpus_documents(spark, sf_dir)
+        return (d.select(F.explode("spans").alias("s"))
+                .groupBy(F.col("s.kind").alias("kind"))
+                .agg(F.count("*").alias("n_spans")))
+    q["q_span_kind_counts"] = q_span_kind_counts
+
+    def q_spans_per_doc(spark, sf_dir):
+        d = corpus_documents(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.size(F.filter("spans", lambda s: s.kind == "media")).alias("n_media"),
+            F.size(F.filter("spans", lambda s: s.kind == "text")).alias("n_text"))
+    q["q_spans_per_doc"] = q_spans_per_doc
+
+    def q_entity_type_layer_counts(spark, sf_dir):  # exercises decode path
+        return (_media(spark, sf_dir).groupBy("entity_type", "layer")
+                .agg(F.count("*").alias("n")))
+    q["q_entity_type_layer_counts"] = q_entity_type_layer_counts
+
+    def q_area_rect_points(spark, sf_dir):  # P1 rect × intersect on POINTs
+        ents = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        hits = select_handles(ents, "rectangle", "intersect", (1000.0, 2000.0, 1000.0, 2000.0))
+        return hits
+    q["q_area_rect_points"] = q_area_rect_points
+
+    def q_area_circle_lines(spark, sf_dir):  # P1 circle × intersect on LINE bboxes
+        ents = _media(spark, sf_dir).filter(F.col("entity_type") == "LINE")
+        sel = select_handles(ents, "circle", "intersect", ((4000.0, 4000.0), 1500.0))
+        return sel
+    q["q_area_circle_lines"] = q_area_circle_lines
+
+    def q_tile_counts_points(spark, sf_dir):  # J12 tile assignment (z=6)
+        ents = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        s = cell_size(6)
+        return (ents.select(
+            F.floor(F.col("xmin") / F.lit(s)).cast("long").alias("tx"),
+            F.floor(F.col("ymin") / F.lit(s)).cast("long").alias("ty"))
+            .groupBy("tx", "ty").agg(F.count("*").alias("n")))
+    q["q_tile_counts_points"] = q_tile_counts_points
+
+    def q_pip_rect_zones(spark, sf_dir):  # J10 restricted to rect zones (SQL-provable)
+        ents = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        pts = ents.select("doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+        zones = corpus_zones(spark, sf_dir).filter(F.col("kind") == "rect")
+        return point_in_polygon_join(pts, zones, res=6).select("doc_id", "handle", "zone_id")
+    q["q_pip_rect_zones"] = q_pip_rect_zones
+
+    def q_handle_norm(spark, sf_dir):  # F4
+        m = _media(spark, sf_dir)
+        return m.select("doc_id", normalize_handle(F.col("handle")).alias("handle_lc")).distinct()
+    q["q_handle_norm"] = q_handle_norm
+
+    def q_table_names(spark, sf_dir):  # F1-F3 layer→table mapping
+        m = _media(spark, sf_dir)
+        return m.select(
+            "doc_id", "layer",
+            short_id(F.col("doc_id")).alias("sid"),
+            table_name(F.col("doc_id"), F.col("layer")).alias("tbl"),
+        ).distinct()
+    q["q_table_names"] = q_table_names
+
+    def q_text_span_tokens(spark, sf_dir):  # text spans + token counting
+        t = text_spans(corpus_documents(spark, sf_dir))
+        return t.groupBy("doc_id").agg(
+            F.count("*").alias("n_text_spans"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"))
+    q["q_text_span_tokens"] = q_text_span_tokens
+
+    # ---------------- documents (driver flat table): text / dedup ----------------
+
+    def q_lang_id(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return d.groupBy(lang_id(F.col("text")).alias("lang_pred")).agg(F.count("*").alias("n"))
+    q["q_lang_id"] = q_lang_id
+
+    def q_token_stats(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+    q["q_token_stats"] = q_token_stats
+
+    def q_quality(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    q["q_quality"] = q_quality
+
+    def q_fingerprints(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    q["q_fingerprints"] = q_fingerprints
+
+    def q_exact_dup_groups(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return exact_duplicates(d).select("fp", "n_dups", "keep_id")
+    q["q_exact_dup_groups"] = q_exact_dup_groups
+
+    # ---------------- embeddings: similarity ----------------
+
+    def q_ann_topk(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings") \
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        return brute_force_topk(e.filter(F.col("vec_id") >= 3), qs, k=5)
+    q["q_ann_topk"] = q_ann_topk
+
+    def q_embedding_norms(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings") \
+            .select("label", F.col("embedding").cast("array<double>").alias("emb"))
+        norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+        return e.groupBy("label").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(norm), 6).alias("avg_norm"))
+    q["q_embedding_norms"] = q_embedding_norms
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+               COUNT(*) AS count_order,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q_filter_project"] = """
+        SELECT o_orderkey, o_custkey,
+               ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 0.9 AS DOUBLE), 4) AS discounted
+        FROM orders WHERE o_orderstatus = 'F'
+    """
+
+    o["q_join_customer_orders"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """
+
+    o["q_semi_join"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """
+
+    o["q_anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+    o["q_upsert_merge"] = """
+        WITH src AS (
+          SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS new_bal
+          FROM orders GROUP BY o_custkey)
+        SELECT COALESCE(c_custkey, o_custkey) AS key,
+               ROUND(COALESCE(new_bal, c_acctbal), 4) AS balance,
+               CASE WHEN o_custkey IS NULL THEN 'kept'
+                    WHEN c_custkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action
+        FROM customer FULL OUTER JOIN src ON c_custkey = o_custkey
+    """
+
+    o["q_topk_window"] = """
+        SELECT o_orderpriority, o_orderkey, totalprice, rank FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice AS totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders) WHERE rank <= 3
+    """
+
+    o["q_orderby_limit"] = """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """
+
+    o["q_union_distinct"] = """
+        SELECT DISTINCT c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """
+
+    o["q_except"] = """
+        SELECT c_custkey FROM customer
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """
+
+    o["q_counts_exists"] = """
+        SELECT n_name, COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_customers, 0) > 0 AS has_customers
+        FROM nation LEFT JOIN (
+          SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey
+        ) ON n_nationkey = c_nationkey
+    """
+
+    o["q_selection_propagation"] = """
+        SELECT o_custkey, MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 AS any_selected,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """
+
+    o["q_events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["q_helmert"] = """
+        SELECT p_partkey,
+               ROUND(100.0 + 2.0 * p_size - 0.5 * p_retailprice, 6) AS x2,
+               ROUND(-50.0 + 0.5 * p_size + 2.0 * p_retailprice, 6) AS y2
+        FROM part
+    """
+
+    o["q_span_kind_counts"] = f"""
+        SELECT s.kind AS kind, COUNT(*) AS n_spans
+        FROM (SELECT unnest(spans) AS s FROM {DOCS_PQ}) GROUP BY 1
+    """
+
+    o["q_spans_per_doc"] = f"""
+        SELECT doc_id, len(spans) AS n_spans,
+               len(list_filter(spans, s -> s.kind = 'media')) AS n_media,
+               len(list_filter(spans, s -> s.kind = 'text')) AS n_text
+        FROM {DOCS_PQ}
+    """
+
+    o["q_entity_type_layer_counts"] = f"""
+        SELECT entity_type, layer, COUNT(*) AS n FROM ({_SQL_MEDIA}) GROUP BY 1, 2
+    """
+
+    # rect × intersect on POINT bbox == point-in-rect; handles lowered
+    o["q_area_rect_points"] = f"""
+        SELECT DISTINCT lower(trim(handle)) AS handle FROM (
+          SELECT handle,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]') AS DOUBLE) AS x,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT')
+        WHERE x BETWEEN 1000.0 AND 2000.0 AND y BETWEEN 1000.0 AND 2000.0
+          AND handle IS NOT NULL AND trim(handle) <> ''
+    """
+
+    # circle × intersect on LINE bbox: clamp circle center into bbox
+    o["q_area_circle_lines"] = f"""
+        SELECT DISTINCT lower(trim(handle)) AS handle FROM (
+          SELECT handle,
+            LEAST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[0]') AS DOUBLE),
+                  CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[0]') AS DOUBLE)) AS xmin,
+            GREATEST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[0]') AS DOUBLE),
+                     CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[0]') AS DOUBLE)) AS xmax,
+            LEAST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[1]') AS DOUBLE),
+                  CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[1]') AS DOUBLE)) AS ymin,
+            GREATEST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[1]') AS DOUBLE),
+                     CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[1]') AS DOUBLE)) AS ymax
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'LINE')
+        WHERE POWER(GREATEST(xmin, LEAST(4000.0, xmax)) - 4000.0, 2)
+            + POWER(GREATEST(ymin, LEAST(4000.0, ymax)) - 4000.0, 2) <= POWER(1500.0, 2)
+    """
+
+    o["q_tile_counts_points"] = f"""
+        SELECT CAST(FLOOR(x / 128.0) AS BIGINT) AS tx, CAST(FLOOR(y / 128.0) AS BIGINT) AS ty,
+               COUNT(*) AS n
+        FROM (
+          SELECT CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]') AS DOUBLE) AS x,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT')
+        GROUP BY 1, 2
+    """
+
+    o["q_pip_rect_zones"] = f"""
+        SELECT p.doc_id AS doc_id, p.handle AS handle, z.zone_id AS zone_id
+        FROM (
+          SELECT doc_id, handle,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]') AS DOUBLE) AS x,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT') p
+        JOIN (SELECT zone_id, xmin, ymin, xmax, ymax FROM {ZONES_PQ} WHERE kind = 'rect') z
+          ON p.x BETWEEN z.xmin AND z.xmax AND p.y BETWEEN z.ymin AND z.ymax
+    """
+
+    o["q_handle_norm"] = f"""
+        SELECT DISTINCT doc_id, lower(trim(handle)) AS handle_lc FROM ({_SQL_MEDIA})
+    """
+
+    o["q_table_names"] = f"""
+        SELECT DISTINCT doc_id, layer,
+               substring(replace(doc_id, '-', ''), 1, 6) AS sid,
+               'l' || substring(replace(doc_id, '-', ''), 1, 6) || '_' || {_sanitize_sql('layer')} AS tbl
+        FROM ({_SQL_MEDIA})
+    """
+
+    o["q_text_span_tokens"] = f"""
+        SELECT doc_id, COUNT(*) AS n_text_spans,
+               SUM(CASE WHEN trim(s.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END) AS total_tokens
+        FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
+        WHERE s.kind = 'text' GROUP BY doc_id
+    """
+
+    _cyr = "length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))"
+    _lat = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    o["q_lang_id"] = f"""
+        SELECT CASE WHEN {_cyr} = 0 AND {_lat} = 0 THEN 'und'
+                    WHEN {_cyr} > {_lat} THEN 'ru' ELSE 'en' END AS lang_pred,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1
+    """
+
+    o["q_token_stats"] = f"""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM({_TOKC_SQL}) AS total_tokens,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY source
+    """
+
+    _punct = "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g'))"
+    o["q_quality"] = f"""
+        SELECT doc_id, ROUND(
+          0.4 * (CASE WHEN length(text) < 10 THEN length(text) / 10.0
+                      WHEN length(text) > 5000 THEN 0.2 ELSE 1.0 END)
+        + 0.3 * (CASE WHEN (CASE WHEN {_TOKC_SQL} = 0 THEN 0.0
+                            ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / ({_TOKC_SQL}) END)
+                      BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+        + 0.3 * (1.0 - LEAST(1.0, CASE WHEN length(text) = 0 THEN 0.0
+                                       ELSE {_punct} * 1.0 / length(text) END * 4)), 6) AS quality
+        FROM documents
+    """
+
+    o["q_fingerprints"] = f"SELECT doc_id, {_FP_SQL} AS fp FROM documents"
+
+    o["q_exact_dup_groups"] = f"""
+        SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM (SELECT doc_id, {_FP_SQL} AS fp FROM documents)
+        GROUP BY fp HAVING COUNT(*) > 1
+    """
+
+    o["q_ann_topk"] = """
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 3 AND e.vec_id >= 3)
+        WHERE rank <= 5
+    """
+
+    o["q_embedding_norms"] = """
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+        FROM embeddings GROUP BY label
+    """
+
+    return o

@@ -1,0 +1,105 @@
+"""String functions F1-F4 (SURVEY §2.8): transliteration, short-id,
+table-name templating, handle normalization.
+
+The reference uses `unidecode` for layer names (import_use_case.py:31-33)
+and derives table names `l{short_id}_{base}` from the first 6 hex chars of
+the document UUID (import_use_case.py:35-40, 52-93). unidecode is not
+available here; for the Cyrillic+Latin layer-name domain of the corpus the
+GOST-style map below reproduces unidecode's output for every character the
+reference fixtures use. It is applied as a chain of JVM `replace`
+expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# unidecode-compatible Cyrillic→Latin (unidecode's x000/x004 tables)
+CYR = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "e",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "iu", "я": "ia",
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E", "Ё": "E",
+    "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L", "М": "M",
+    "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T", "У": "U",
+    "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch", "Ш": "Sh", "Щ": "Shch",
+    "Ъ": "", "Ы": "Y", "Ь": "", "Э": "E", "Ю": "Iu", "Я": "Ia",
+}
+
+
+def transliterate(col: Column) -> Column:
+    """F1: unidecode-equivalent for the Cyrillic domain — chained JVM
+    replaces, fully codegen'd."""
+    out = col
+    for src, dst in CYR.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def transliterate_py(s: str) -> str:
+    """Pure-Python mirror (tests, oracle generation)."""
+    return "".join(CYR.get(ch, ch) for ch in s)
+
+
+def short_id(doc_id: Column) -> Column:
+    """F2: strip dashes, first 6 chars of the UUID (import_use_case.py:35-40)."""
+    return F.substring(F.regexp_replace(doc_id, "-", ""), 1, 6)
+
+
+def sanitize_identifier(col: Column) -> Column:
+    """Lower, non [a-z0-9_] → _, collapse repeats — matches the reference's
+    table-name sanitation in import_use_case.py:52-93."""
+    c = F.lower(transliterate(col))
+    c = F.regexp_replace(c, "[^a-z0-9_]+", "_")
+    return F.regexp_replace(c, "_+", "_")
+
+
+def table_name(doc_id: Column, layer: Column, use_prefix: bool = True) -> Column:
+    """F3: `l{short}_{base}` templating (import_use_case.py:52-93)."""
+    base = sanitize_identifier(layer)
+    if not use_prefix:
+        return base
+    return F.concat(F.lit("l"), short_id(doc_id), F.lit("_"), base)
+
+
+def normalize_handle(col: Column, lower: bool = True) -> Column:
+    """F4: strip + case-normalize. NB the reference lowers in the selector
+    (area_selector.py:27) but UPPERS in writer/import (dxf_writer.py:34,
+    import_use_case.py:692) — both directions exposed."""
+    t = F.trim(col)
+    return F.lower(t) if lower else F.upper(t)
+
+
+def unescape_dxf_unicode_py(s: str) -> str:
+    """F5: DXF \\U+XXXX unescape (legacy fnc4ADXF2Shape.py:60-74)."""
+    import re
+
+    return re.sub(r"\\U\+([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), s)
+
+
+def helmert_fit(p1_src, p1_dst, p2_src, p2_dst):
+    """F7: 4-parameter conformal transform from 2 control points
+    (TransformTools.py:93-171): returns (a, b, dx, dy) with
+    x' = dx + a·x − b·y ; y' = dy + b·x + a·y."""
+    sx1, sy1 = p1_src
+    sx2, sy2 = p2_src
+    dx1, dy1 = p1_dst
+    dx2, dy2 = p2_dst
+    du, dv = sx2 - sx1, sy2 - sy1
+    dU, dV = dx2 - dx1, dy2 - dy1
+    den = du * du + dv * dv
+    a = (du * dU + dv * dV) / den
+    b = (du * dV - dv * dU) / den
+    tx = dx1 - a * sx1 + b * sy1
+    ty = dy1 - b * sx1 - a * sy1
+    return a, b, tx, ty
+
+
+def helmert_apply(x: Column, y: Column, params) -> tuple[Column, Column]:
+    """Apply fitted Helmert params as column expressions."""
+    a, b, tx, ty = params
+    return (F.lit(tx) + F.lit(a) * x - F.lit(b) * y,
+            F.lit(ty) + F.lit(b) * x + F.lit(a) * y)

@@ -1,0 +1,84 @@
+"""Text-analysis functions for training-data pipelines (task brief §text):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (JVM, codegen, SQL-oracle-parity) —
+no Python in the hot path. They run over the driver `documents` table
+(doc_id, text, lang, source, n_chars) and over corpus text spans alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank → 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish: count word-or-punctuation units (letters+digits runs or
+    single non-space symbols)."""
+    units = F.regexp_extract_all(text, F.lit(r"[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"), 0)
+    return F.size(units)
+
+
+def cyrillic_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^а-яА-ЯёЁ]", ""))
+
+
+def latin_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic language ID: script-dominance with an 'und'
+    fallback for scriptless text. Deterministic and SQL-expressible."""
+    cyr = cyrillic_chars(text)
+    lat = latin_chars(text)
+    return (
+        F.when((cyr == 0) & (lat == 0), F.lit("und"))
+        .when(cyr > lat, F.lit("ru"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (en|ru) stopwords."""
+    stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "и", "в", "на", "с", "по", "не", "что", "это", "как", "для"]
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = token_count(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + low punct + word-ish tokens.
+    Weights are arbitrary but fixed; documented for the oracle."""
+    n = F.length(text)
+    len_score = F.when(n < 10, n / 10.0).when(n > 5000, F.lit(0.2)).otherwise(F.lit(1.0))
+    mean_tok_len = F.when(token_count(text) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, r"\s+", "")) / token_count(text))
+    tok_score = F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_score = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4)
+    return F.round(0.4 * len_score + 0.3 * tok_score + 0.3 * p_score, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup normalization: lower, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (md5 exists in both
+    Spark and DuckDB → value-level oracle parity)."""
+    return F.md5(normalize_text(text))

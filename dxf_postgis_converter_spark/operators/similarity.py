@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  dot product is pure JVM (`zip_with` + `aggregate` higher-order
+  functions, whole-stage codegen) — no Python at all.
+- lsh_topk: random-hyperplane bucketed ANN — the scale path. Probes only
+  same-bucket (plus optional multi-probe hamming-1 neighbors) candidates,
+  then exact-reranks. Recall measured in tests against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _lit_vec(v) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "query_id", q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query row. queries is small →
+    broadcast; the big side streams through codegen'd arithmetic once."""
+    q = F.broadcast(queries.select(
+        F.col(q_id_col), F.col(q_vec_col), _norm(F.col(q_vec_col)).alias("_qn")))
+    e = emb.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_en"))
+    cand = e.crossJoin(q).withColumn(
+        "cosine", F.round(_dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_en") * F.col("_qn")), 6))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+        .select(q_id_col, id_col, "cosine", "rank")
+
+
+def hyperplane_signature(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Bit-string signature column from fixed random hyperplanes (JVM)."""
+    bits = [
+        F.when(_dot(F.col(vec_col), _lit_vec(planes[i])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(len(planes))
+    ]
+    return F.concat(*bits)
+
+
+def make_planes(dim: int, n_planes: int = 10, seed: int = 1234) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "query_id", q_vec_col: str = "query_vec",
+    n_planes: int = 8, multiprobe: bool = True, seed: int = 1234,
+) -> DataFrame:
+    """ANN: join on hyperplane bucket (query side optionally expanded to
+    all hamming-1 buckets → 1+n_planes probes), exact cosine rerank."""
+    dim = emb.select(F.size(vec_col).alias("d")).first().d
+    planes = make_planes(dim, n_planes, seed)
+    e = emb.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_en"),
+                   hyperplane_signature(vec_col, planes).alias("_sig"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col), _norm(F.col(q_vec_col)).alias("_qn"),
+                       hyperplane_signature(q_vec_col, planes).alias("_sig0"))
+    if multiprobe:
+        # probe own bucket + every hamming-1 bucket: flip each bit
+        probes = F.array(
+            F.col("_sig0"),
+            *[
+                F.concat(
+                    F.substring("_sig0", 1, i),
+                    F.when(F.substring("_sig0", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring("_sig0", i + 2, n_planes - i - 1),
+                )
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("_sig", F.explode(probes))
+    else:
+        q = q.withColumn("_sig", F.col("_sig0"))
+    cand = e.join(F.broadcast(q.drop("_sig0")), "_sig") \
+        .dropDuplicates([q_id_col, id_col])
+    cand = cand.withColumn(
+        "cosine", F.round(_dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_en") * F.col("_qn")), 6))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+        .select(q_id_col, id_col, "cosine", "rank")

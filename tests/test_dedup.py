@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.operators.dedup import (
+    _shingles, dedup_exact, embedding_neardup_pairs, exact_duplicates,
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")          # near-dup of base
+    other = "completely different content about spark distributed joins and shuffle partitioning"
+    rows = [
+        ("d1", base), ("d2", base.upper()), ("d3", "  " + base + "  "),  # exact dups (normalized)
+        ("d4", near), ("d5", other), ("d6", other + " extended with a tail"),
+        ("d7", "short"), ("d8", base),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_duplicates(dup_docs):
+    groups = exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_dups == 4 and g.keep_id == "d1"
+    assert g.dup_ids == ["d1", "d2", "d3", "d8"]
+    kept = dedup_exact(dup_docs)
+    assert kept.count() == 5
+    assert {r.doc_id for r in kept.collect()} == {"d1", "d4", "d5", "d6", "d7"}
+
+
+def brute_jaccard(a: str, b: str, n=5):
+    sa, sb = set(_shingles(a, n).tolist()), set(_shingles(b, n).tolist())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_finds_neardups(dup_docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5).collect()}
+    # exact dups estimate 1.0
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d4") in pairs  # near-dup caught
+    est = pairs[("d1", "d4")]
+    true_j = brute_jaccard("the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
+                           "the quick brown fox jumps over the sleepy dog and runs far away into the woods tonight")
+    assert abs(est - true_j) < 0.25  # 64-hash estimator tolerance
+    assert ("d1", "d5") not in pairs  # unrelated not paired
+
+
+def test_ngram_jaccard_exact_values(dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    true_j = brute_jaccard(
+        "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
+        "the quick brown fox jumps over the sleepy dog and runs far away into the woods tonight")
+    assert pairs[("d1", "d4")] == pytest.approx(round(true_j, 6))
+
+
+def test_simhash_pairs(dup_docs):
+    # 4-block pigeonhole guarantees recall only for hamming <= 3: exact
+    # (normalized) dups land at 0; unrelated docs (hamming ~35+) never pair
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(dup_docs, max_hamming=3).collect()}
+    assert pairs[("d1", "d2")] == 0 and pairs[("d1", "d3")] == 0 and pairs[("d1", "d8")] == 0
+    assert ("d1", "d5") not in pairs
+
+
+def test_simhash_distance_monotonic(spark):
+    from dxf_postgis_converter_spark.operators.dedup import simhash_signatures
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [("a", base), ("b", base.replace("lazy", "sleepy")),
+            ("c", "completely different content about spark distributed joins")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    h = lambda x, y: bin(sigs[x] ^ sigs[y]).count("1")
+    assert h("a", "b") < h("a", "c")  # near-dup closer than unrelated
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((100, [float(x) for x in base], 1))
+    rows.append((101, [float(x) for x in (base + rng.standard_normal(16) * 0.02)], 1))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.95, brute_force=True).collect()}
+    assert (100, 101) in exact and len(exact) == 1
+    lsh = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.95, n_planes=8).collect()}
+    assert (100, 101) in lsh and lsh <= exact

@@ -1,0 +1,82 @@
+import math
+
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.functions.naming import (
+    helmert_apply, helmert_fit, normalize_handle, short_id, table_name,
+    transliterate, transliterate_py, unescape_dxf_unicode_py,
+)
+from dxf_postgis_converter_spark.functions.text import (
+    fingerprint, lang_id, quality_score, token_count, word_token_count,
+)
+
+
+def test_transliterate(spark):
+    df = spark.createDataFrame([("Фундамент",), ("Отметки фундамента",), ("walls_ext",)], "s string")
+    got = [r[0] for r in df.select(transliterate(F.col("s"))).collect()]
+    assert got == ["Fundament", "Otmetki fundamenta", "walls_ext"]
+    assert transliterate_py("Щука и ёж") == "Shchuka i ezh"
+
+
+def test_table_name_template(spark):
+    df = spark.createDataFrame(
+        [("123e4567-e89b-12d3-a456-426614174000", "Отметки фундамента")],
+        "doc_id string, layer string")
+    row = df.select(
+        short_id(F.col("doc_id")).alias("sid"),
+        table_name(F.col("doc_id"), F.col("layer")).alias("tn"),
+        table_name(F.col("doc_id"), F.col("layer"), use_prefix=False).alias("tn2"),
+    ).first()
+    assert row.sid == "123e45"
+    assert row.tn == "l123e45_otmetki_fundamenta"
+    assert row.tn2 == "otmetki_fundamenta"
+
+
+def test_handle_normalization(spark):
+    df = spark.createDataFrame([("  AbC1 ",)], "h string")
+    assert df.select(normalize_handle(F.col("h"))).first()[0] == "abc1"
+    assert df.select(normalize_handle(F.col("h"), lower=False)).first()[0] == "ABC1"
+
+
+def test_unescape_dxf_unicode():
+    assert unescape_dxf_unicode_py(r"a\U+0414b") == "aДb"
+
+
+def test_helmert_identity_and_scale():
+    # identity
+    p = helmert_fit((0, 0), (0, 0), (1, 0), (1, 0))
+    assert p == (1.0, 0.0, 0.0, 0.0)
+    # scale 2 + translate (5, 7)
+    p = helmert_fit((0, 0), (5, 7), (1, 0), (7, 7))
+    a, b, tx, ty = p
+    assert (a, b, tx, ty) == (2.0, 0.0, 5.0, 7.0)
+    # rotation 90°: (1,0)->(0,1)
+    a, b, tx, ty = helmert_fit((0, 0), (0, 0), (1, 0), (0, 1))
+    assert math.isclose(a, 0) and math.isclose(b, 1)
+
+
+def test_helmert_apply_columns(spark):
+    df = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    xc, yc = helmert_apply(F.col("x"), F.col("y"), (2.0, 0.0, 5.0, 7.0))
+    row = df.select(xc.alias("x2"), yc.alias("y2")).first()
+    assert (row.x2, row.y2) == (11.0, 15.0)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("hello world the cat", ), ("отметка фундамента на оси", ), ("", ), ("!!! ... ???",)],
+        "text string")
+    rows = df.select(
+        token_count(F.col("text")).alias("tc"),
+        word_token_count(F.col("text")).alias("wc"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert [r.tc for r in rows] == [4, 4, 0, 3]
+    assert rows[0].lang == "en" and rows[1].lang == "ru" and rows[2].lang == "und" and rows[3].lang == "und"
+    assert rows[0].q > rows[3].q  # punctuation garbage scores lower
+    assert rows[0].fp != rows[1].fp and len(rows[0].fp) == 32
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([("Hello   WORLD the cat",)], "text string")
+    assert df2.select(fingerprint(F.col("text"))).first()[0] == rows[0].fp
