@@ -1,0 +1,129 @@
+"""Headline benchmark — the driver runs this per round (BENCH_r{N}.json).
+
+Pipeline mirrors BASELINE.json's metric: decode the interleaved corpus
+(media_ref payloads → WKB geometries), then drive the decoded entities
+through the spatial-join + tile-assignment stages, plus the
+training-data-pipeline headliners (MinHash dedup, ANN) on the driver
+testdata tables.
+
+Stages are materialized the way a real 100 TB job would be: the decode
+stage writes the entities table once (parquet here ≙ Iceberg at scale),
+and every downstream join/agg reads that — no re-decoding per query.
+Work is forced with the noop sink (full execution, no driver collect).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., "geoms_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.corpus import ensure_corpus
+from dxf_postgis_converter_spark.functions.decode import decode_documents
+from dxf_postgis_converter_spark.operators.area_selection import select_handles
+from dxf_postgis_converter_spark.operators.dedup import minhash_lsh_pairs
+from dxf_postgis_converter_spark.operators.knn import knn_join
+from dxf_postgis_converter_spark.operators.similarity import brute_force_topk
+from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
+from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+from dxf_postgis_converter_spark.session import get_spark
+from dxf_postgis_converter_spark.sources.tables import load_table, sf_of_dir
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WORK = os.environ.get("BENCH_WORK_DIR", "/root/repo/data/bench_work")
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = sf_of_dir(SF_DIR)
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    corpus = ensure_corpus(spark, sf)  # untimed: one-time data generation
+    docs = spark.read.parquet(os.path.join(corpus, "documents"))
+    zones = spark.read.parquet(os.path.join(corpus, "zones"))
+    n_docs = docs.count()  # warm the FS cache / JVM before timing
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    ents_path = os.path.join(WORK, "entities")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    # stage 1 — decode: spans → entities table (the Arrow-batched UDF path)
+    timed("decode", lambda: decode_documents(docs)
+          .write.mode("overwrite").parquet(ents_path))
+    ents = spark.read.parquet(ents_path)
+    n_geoms = ents.filter(F.col("geometry_wkb").isNotNull()).count()
+
+    # stage 2 — point-in-polygon join (broadcast cover + exact refine)
+    pts = ents.filter(F.col("geom_type") == "POINT").select(
+        "doc_id", "handle",
+        F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    timed("pip_join", lambda: _force(
+        point_in_polygon_join(pts, zones, res=6)
+        .groupBy("zone_id").agg(F.count("*").alias("n"))))
+
+    # stage 3 — tile assignment + pyramid rollup z=8→4
+    timed("tile_pyramid", lambda: _force(
+        tile_pyramid_counts(ents.filter(F.col("xmin").isNotNull()), z_max=8, z_min=4)))
+
+    # stage 4 — area selection (rect + circle predicates over bboxes)
+    timed("area_select", lambda: _force(
+        select_handles(ents.filter(F.col("xmin").isNotNull()),
+                       "circle", "intersect", ((4000.0, 4000.0), 1500.0))))
+
+    # stage 5 — kNN join: 2k probe points vs all points, k=5
+    all_pts = pts.select(F.col("handle").alias("target_id"), "x", "y")
+    probes = pts.limit(2000).select(F.col("handle").alias("probe_id"), "x", "y")
+    timed("knn_join", lambda: _force(
+        knn_join(probes, all_pts, k=5, res=7)))
+
+    # training-data headliners on the driver testdata tables
+    tdocs = load_table(spark, SF_DIR, "documents")
+    timed("minhash_lsh", lambda: _force(
+        minhash_lsh_pairs(tdocs, num_hashes=64, bands=16, jaccard_threshold=0.7)))
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    timed("ann_topk", lambda: _force(
+        brute_force_topk(emb.filter(F.col("vec_id") >= 8), qs, k=10)))
+
+    total = round(sum(times.values()), 3)
+    spatial_sec = times["decode"] + times["pip_join"] + times["tile_pyramid"]
+    print(json.dumps({
+        "metric": "spatial pipeline wall time (decode + PIP join + tiles + kNN + dedup + ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_geoms": n_geoms,
+        "docs_per_sec": round(n_docs / spatial_sec, 1),
+        "geoms_per_sec": round(n_geoms / spatial_sec, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
