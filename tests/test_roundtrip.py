@@ -1,0 +1,72 @@
+"""Round-trip gate: documents → decode → reconstruct → span-sequence
+equality (kind, text, media_ref, order) per BASELINE.json north_star,
+plus the reference's fingerprint-multiset oracle
+(tests/test_integration.py:438-461) re-decoded from the rebuilt corpus."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dxf_postgis_converter_spark.corpus import generate_documents
+from dxf_postgis_converter_spark.functions.decode import decode_documents, text_spans
+from dxf_postgis_converter_spark.operators.reconstruct import (
+    layer_fingerprints,
+    reconstruct_documents,
+    reconstruction_report,
+    span_mismatches,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return generate_documents(spark, 120, num_partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def rebuilt(spark, docs):
+    ents = decode_documents(docs)
+    return reconstruct_documents(ents, text_spans(docs)).cache()
+
+
+def test_span_sequence_equality(docs, rebuilt):
+    assert span_mismatches(docs, rebuilt).count() == 0
+
+
+def test_doc_count_preserved(docs, rebuilt):
+    assert rebuilt.count() == docs.filter(F.size("spans") > 0).count()
+
+
+def test_offsets_are_original_order(rebuilt):
+    bad = rebuilt.filter(
+        ~F.forall(
+            F.zip_with("spans", F.sequence(F.lit(0), F.size("spans") - 1),
+                       lambda s, i: s.offset == i),
+            lambda ok: ok)
+    )
+    assert bad.count() == 0
+
+
+def test_fingerprint_multiset_equality(docs, rebuilt):
+    """Decode the rebuilt corpus again; per-layer fingerprint counts must
+    match the original decode exactly (A6 oracle)."""
+    fp_a = layer_fingerprints(decode_documents(docs))
+    fp_b = layer_fingerprints(decode_documents(rebuilt))
+    assert fp_a.exceptAll(fp_b).count() == 0
+    assert fp_b.exceptAll(fp_a).count() == 0
+
+
+def test_reconstruction_report(docs):
+    rep = reconstruction_report(decode_documents(docs)).collect()
+    by_type = {r.entity_type: r for r in rep}
+    assert by_type["POINT"].n == by_type["POINT"].n_with_geometry  # always has geometry
+    for t in ("DIMENSION", "3DSOLID", "MESH", "IMAGEDEF", "WIPEOUT"):
+        if t in by_type:
+            assert by_type[t].n_with_geometry == 0  # no-geometry types
+
+
+def test_mismatch_detected_when_corrupted(spark, docs, rebuilt):
+    """Negative control: drop one media span from one doc → mismatch."""
+    corrupted = rebuilt.withColumn(
+        "spans",
+        F.when(F.col("doc_id") == rebuilt.select("doc_id").first().doc_id,
+               F.slice("spans", 1, F.size("spans") - 1)).otherwise(F.col("spans")))
+    assert span_mismatches(docs, corrupted).count() == 1
