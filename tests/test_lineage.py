@@ -1,0 +1,96 @@
+"""Lineage + idempotent resume (north_rule checkpoint contract)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dxf_postgis_converter_spark.functions.decode import decode_documents
+from dxf_postgis_converter_spark.plans.lineage import (
+    BUCKET_COL,
+    LineageLog,
+    run_stage,
+    stage_metrics,
+)
+
+N_BUCKETS = 8
+
+
+def _transform(df):
+    return decode_documents(df).select(
+        "doc_id", "span_offset", "handle", "layer", "entity_type", "geom_type")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "out"), LineageLog(str(tmp_path / "lineage"))
+
+
+def test_single_shot_complete(spark, docs_df, dirs):
+    out_dir, log = dirs
+    s = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                  transform=_transform, out_dir=out_dir, lineage=log,
+                  n_buckets=N_BUCKETS)
+    assert s["complete"] and s["processed_buckets"] == N_BUCKETS
+    expected = _transform(docs_df).count()
+    assert spark.read.parquet(out_dir).count() == expected
+    assert s["rows"] == expected
+
+
+def test_resume_after_partial_run(spark, docs_df, dirs):
+    out_dir, log = dirs
+    s1 = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                   transform=_transform, out_dir=out_dir, lineage=log,
+                   n_buckets=N_BUCKETS, max_buckets_per_run=3)
+    assert not s1["complete"] and s1["processed_buckets"] == 3
+    s2 = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                   transform=_transform, out_dir=out_dir, lineage=log,
+                   n_buckets=N_BUCKETS)
+    assert s2["complete"] and s2["skipped_buckets"] == 3
+    assert s2["processed_buckets"] == N_BUCKETS - 3
+    # output identical to a single-shot run: no missing rows, no duplicates
+    got = spark.read.parquet(out_dir).drop(BUCKET_COL)
+    expected = _transform(docs_df)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_rerun_is_noop(spark, docs_df, dirs):
+    out_dir, log = dirs
+    run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+              transform=_transform, out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    n1 = spark.read.parquet(out_dir).count()
+    s = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                  transform=_transform, out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    assert s["processed_buckets"] == 0 and s["skipped_buckets"] == N_BUCKETS
+    assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_crash_heals_partial_bucket(spark, docs_df, dirs):
+    """Simulate a crash AFTER data landed but BEFORE lineage was appended:
+    run bucket 0's write manually with no lineage row, then run the stage —
+    it must overwrite (not duplicate) that bucket."""
+    out_dir, log = dirs
+    from dxf_postgis_converter_spark.plans.lineage import bucket_of
+    partial = _transform(docs_df).withColumn(BUCKET_COL, bucket_of("doc_id", N_BUCKETS)) \
+        .filter(F.col(BUCKET_COL) == 0).limit(5)  # half-written bucket
+    partial.write.mode("overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy(BUCKET_COL).parquet(out_dir)
+    s = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                  transform=_transform, out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    assert s["complete"]
+    got = spark.read.parquet(out_dir).drop(BUCKET_COL)
+    expected = _transform(docs_df)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_new_snapshot_not_confused(spark, docs_df, dirs):
+    out_dir, log = dirs
+    run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+              transform=_transform, out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    s = run_stage(spark, stage="decode", snapshot_id="v2", source=docs_df,
+                  transform=_transform, out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    assert s["processed_buckets"] == N_BUCKETS  # v2 resumes nothing from v1
+    m = {(r.stage, r.snapshot_id): r for r in stage_metrics(spark, log).collect()}
+    assert m[("decode", "v1")].n_buckets == N_BUCKETS
+    assert m[("decode", "v2")].n_buckets == N_BUCKETS
+    assert m[("decode", "v1")].total_rows == m[("decode", "v2")].total_rows
