@@ -28,10 +28,24 @@ from dxf_postgis_converter_spark.functions.text import (
     fingerprint, lang_id, quality_score, token_count,
 )
 from dxf_postgis_converter_spark.index.grid import cell_size
-from dxf_postgis_converter_spark.operators.area_selection import select_handles
-from dxf_postgis_converter_spark.operators.dedup import exact_duplicates
-from dxf_postgis_converter_spark.operators.similarity import brute_force_topk
-from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
+from dxf_postgis_converter_spark.index.skew import adaptive_cell_index, cell_population_stats
+from dxf_postgis_converter_spark.operators.area_selection import (
+    SelectionMode, apply_selection_mode, select_handles,
+)
+from dxf_postgis_converter_spark.operators.dedup import (
+    dedup_exact, embedding_neardup_pairs, exact_duplicates,
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+from dxf_postgis_converter_spark.operators.knn import knn_join
+from dxf_postgis_converter_spark.operators.merge_modes import add_objects, overwrite_layers
+from dxf_postgis_converter_spark.operators.reconstruct import (
+    reconstruct_documents, span_mismatches,
+)
+from dxf_postgis_converter_spark.operators.similarity import brute_force_topk, lsh_topk
+from dxf_postgis_converter_spark.operators.spatial_join import (
+    bbox_intersects_join, point_in_polygon_join,
+)
+from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
 from dxf_postgis_converter_spark.sources.tables import (
     corpus_documents, corpus_zones, load_table, sf_of_dir,
 )
@@ -78,8 +92,17 @@ _SQL_MEDIA = (
     "SELECT doc_id, s.media_ref AS media_ref, s.offset AS span_offset, "
     "json_extract_string(NULLIF(s.media_ref,''),'$.entity_type') AS entity_type, "
     "json_extract_string(NULLIF(s.media_ref,''),'$.layer') AS layer, "
+    "json_extract_string(NULLIF(s.media_ref,''),'$.name') AS name, "
     "json_extract_string(NULLIF(s.media_ref,''),'$.handle') AS handle "
     f"FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ}) WHERE s.kind='media'"
+)
+
+# POINT entities with coordinates (shared by kNN / tiles / selection oracles)
+_SQL_POINTS = (
+    "SELECT doc_id, handle, "
+    "CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]') AS DOUBLE) AS x, "
+    "CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y "
+    f"FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT'"
 )
 
 
@@ -306,6 +329,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_text_spans"),
             F.sum(token_count(F.col("text"))).alias("total_tokens"))
     q["q_text_span_tokens"] = q_text_span_tokens
+
+    def q_knn_points(spark, sf_dir):  # J11 kNN ring-expansion join
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT").select(
+            F.col("handle"), F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+        probes = pts.filter(F.col("handle").endswith("7a")).select(
+            F.col("handle").alias("probe_id"), "x", "y")
+        targets = pts.select(F.col("handle").alias("target_id"), "x", "y")
+        out = knn_join(probes, targets, k=5, res=8)
+        return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
+    q["q_knn_points"] = q_knn_points
+
+    def q_tile_pyramid(spark, sf_dir):  # J12 pyramid rollup z6→z3
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        return tile_pyramid_counts(pts, z_max=6, z_min=3)
+    q["q_tile_pyramid"] = q_tile_pyramid
+
+    def q_bbox_join_zones(spark, sf_dir):  # bbox×zone-bbox intersects join (P1 zone-side)
+        lines = _media(spark, sf_dir).filter(F.col("entity_type") == "LINE").select(
+            "handle", "xmin", "ymin", "xmax", "ymax")
+        zones = corpus_zones(spark, sf_dir)
+        return bbox_intersects_join(lines, zones, res=6).select("handle", "zone_id")
+    q["q_bbox_join_zones"] = q_bbox_join_zones
+
+    def q_merge_add_objects(spark, sf_dir):  # J5 ADD_OBJECTS insert-if-absent
+        e = _media(spark, sf_dir).select("doc_id", "layer", "name", "entity_type", "span_offset")
+        target = e.filter(F.col("span_offset") % 2 == 0)
+        source = e.filter(F.col("span_offset") % 3 == 0)
+        return add_objects(target, source)
+    q["q_merge_add_objects"] = q_merge_add_objects
+
+    def q_merge_overwrite_layers(spark, sf_dir):  # OVERWRITE_LAYERS partition replace
+        e = _media(spark, sf_dir).select("doc_id", "layer", "name", "entity_type", "span_offset")
+        source = e.filter(F.col("span_offset") < 10)
+        return overwrite_layers(e, source)
+    q["q_merge_overwrite_layers"] = q_merge_overwrite_layers
+
+    def q_selection_subtract(spark, sf_dir):  # SO3 selection subtract
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        prior = select_handles(pts, "rectangle", "intersect", (1000.0, 3000.0, 1000.0, 3000.0))
+        hits = select_handles(pts, "circle", "intersect", ((2000.0, 2000.0), 800.0))
+        return apply_selection_mode(prior, hits, SelectionMode.SUBTRACT)
+    q["q_selection_subtract"] = q_selection_subtract
+
+    def q_hatch_signatures(spark, sf_dir):  # HATCH path signature parity (C17)
+        h = _media(spark, sf_dir).filter(F.col("entity_type") == "HATCH")
+        return h.select(
+            "handle",
+            F.get_json_object("data_json", "$.extra_data.pattern_name").alias("pattern_name"),
+            F.get_json_object("data_json", "$.extra_data.solid_fill").alias("solid_fill"),
+            F.get_json_object("data_json", "$.extra_data.boundary_count").cast("int").alias("n_boundaries"),
+            "geom_type")
+    q["q_hatch_signatures"] = q_hatch_signatures
+
+    def q_text_color_dist(spark, sf_dir):  # TEXT/MTEXT ACI color distributions (A7)
+        t = _media(spark, sf_dir).filter(F.col("entity_type").isin("TEXT", "MTEXT"))
+        return t.groupBy(
+            "entity_type",
+            F.get_json_object("data_json", "$.geometries.color").cast("int").alias("color"),
+        ).agg(F.count("*").alias("n"))
+    q["q_text_color_dist"] = q_text_color_dist
+
+    def q_embedding_neardup(spark, sf_dir):  # exact cosine near-dup pairs
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        return embedding_neardup_pairs(e, threshold=0.4, brute_force=True)
+    q["q_embedding_neardup"] = q_embedding_neardup
+
+    def q_dedup_keep(spark, sf_dir):  # exact dedup survivor set
+        d = load_table(spark, sf_dir, "documents")
+        return dedup_exact(d).select("doc_id", "source")
+    q["q_dedup_keep"] = q_dedup_keep
+
+    # ------------- rows-only (non-SQL-expressible) operators -------------
+
+    def q_minhash_pairs(spark, sf_dir):  # MinHash+LSH near-dup (seeded dups injected)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing edit")).alias("text"))
+        return minhash_lsh_pairs(d.unionByName(dups), jaccard_threshold=0.6)
+    q["q_minhash_pairs"] = q_minhash_pairs
+
+    def q_simhash_pairs(spark, sf_dir):  # SimHash hamming≤3 near-dup
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(".")).alias("text"))
+        return simhash_pairs(d.unionByName(dups), max_hamming=3)
+    q["q_simhash_pairs"] = q_simhash_pairs
+
+    def q_ngram_jaccard_pairs(spark, sf_dir):  # exact n-gram Jaccard near-dup
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.8)
+    q["q_ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
+
+    def q_lsh_ann_topk(spark, sf_dir):  # hyperplane-LSH ANN (recall<1 by design)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        return lsh_topk(e.filter(F.col("vec_id") >= 3), qs, k=5, n_planes=8)
+    q["q_lsh_ann_topk"] = q_lsh_ann_topk
+
+    def q_roundtrip_mismatches(spark, sf_dir):  # span-sequence equality gate
+        docs = corpus_documents(spark, sf_dir)
+        rebuilt = reconstruct_documents(decode_documents(docs), text_spans(docs))
+        return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
+    q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
+
+    def q_adaptive_cell_stats(spark, sf_dir):  # skew: hot-cell adaptive split report
+        pts = _media(spark, sf_dir).filter(F.col("geom_type") == "POINT").select(
+            F.col("xmin").alias("x"), F.col("ymin").alias("y"), "handle")
+        idx = adaptive_cell_index(pts, base_res=6, max_res=12, cap=2000)
+        return cell_population_stats(idx)
+    q["q_adaptive_cell_stats"] = q_adaptive_cell_stats
 
     # ---------------- documents (driver flat table): text / dedup ----------------
 
@@ -545,6 +685,108 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END) AS total_tokens
         FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
         WHERE s.kind = 'text' GROUP BY doc_id
+    """
+
+    o["q_knn_points"] = f"""
+        SELECT probe_id, target_id, dist, rank FROM (
+          SELECT p.handle AS probe_id, t.handle AS target_id,
+                 ROUND(SQRT(POWER(p.x - t.x, 2) + POWER(p.y - t.y, 2)), 6) AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY p.handle
+                                    ORDER BY SQRT(POWER(p.x - t.x, 2) + POWER(p.y - t.y, 2)),
+                                             t.handle) AS rank
+          FROM (SELECT * FROM ({_SQL_POINTS}) WHERE handle LIKE '%7a') p
+          CROSS JOIN ({_SQL_POINTS}) t)
+        WHERE rank <= 5
+    """
+
+    # tile_id encoding: res*2^58 + ix*2^29 + iy (index/grid.py)
+    _tid = ("CAST(z AS BIGINT) * 288230376151711744 "
+            "+ CAST(FLOOR(x / (8192.0 / POWER(2.0, z))) AS BIGINT) * 536870912 "
+            "+ CAST(FLOOR(y / (8192.0 / POWER(2.0, z))) AS BIGINT)")
+    o["q_tile_pyramid"] = f"""
+        SELECT {_tid} AS tile_id, COUNT(*) AS n
+        FROM ({_SQL_POINTS}), (SELECT unnest([3,4,5,6]) AS z)
+        GROUP BY 1
+    """
+
+    o["q_bbox_join_zones"] = f"""
+        SELECT l.handle AS handle, z.zone_id AS zone_id FROM (
+          SELECT handle,
+            LEAST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[0]') AS DOUBLE),
+                  CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[0]') AS DOUBLE)) AS xmin,
+            GREATEST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[0]') AS DOUBLE),
+                     CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[0]') AS DOUBLE)) AS xmax,
+            LEAST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[1]') AS DOUBLE),
+                  CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[1]') AS DOUBLE)) AS ymin,
+            GREATEST(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.start[1]') AS DOUBLE),
+                     CAST(json_extract(NULLIF(media_ref,''),'$.geometries.end[1]') AS DOUBLE)) AS ymax
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'LINE') l
+        JOIN {ZONES_PQ} z
+          ON l.xmin <= z.xmax AND l.xmax >= z.xmin AND l.ymin <= z.ymax AND l.ymax >= z.ymin
+    """
+
+    _sql_ents = f"SELECT doc_id, layer, name, entity_type, span_offset FROM ({_SQL_MEDIA})"
+    o["q_merge_add_objects"] = f"""
+        WITH e AS ({_sql_ents})
+        SELECT * FROM e WHERE span_offset % 2 = 0
+        UNION ALL
+        SELECT * FROM e s WHERE span_offset % 3 = 0 AND NOT EXISTS (
+          SELECT 1 FROM e t WHERE t.span_offset % 2 = 0 AND t.doc_id = s.doc_id
+            AND t.layer = s.layer AND t.name = s.name AND t.entity_type = s.entity_type)
+    """
+
+    o["q_merge_overwrite_layers"] = f"""
+        WITH e AS ({_sql_ents})
+        SELECT * FROM e k WHERE NOT EXISTS (
+          SELECT 1 FROM e s WHERE s.span_offset < 10
+            AND s.doc_id = k.doc_id AND s.layer = k.layer)
+        UNION ALL
+        SELECT * FROM e WHERE span_offset < 10
+    """
+
+    o["q_selection_subtract"] = f"""
+        WITH p AS (SELECT lower(trim(handle)) AS h, x, y FROM ({_SQL_POINTS})
+                   WHERE handle IS NOT NULL AND trim(handle) <> '')
+        SELECT DISTINCT h AS handle FROM p
+        WHERE x BETWEEN 1000.0 AND 3000.0 AND y BETWEEN 1000.0 AND 3000.0
+        EXCEPT
+        SELECT h FROM p
+        WHERE POWER(x - 2000.0, 2) + POWER(y - 2000.0, 2) <= POWER(800.0, 2)
+    """
+
+    o["q_hatch_signatures"] = f"""
+        SELECT handle,
+               json_extract_string(media_ref, '$.geometries.pattern_name') AS pattern_name,
+               json_extract_string(media_ref, '$.geometries.solid_fill') AS solid_fill,
+               json_array_length(media_ref, '$.geometries.boundaries') AS n_boundaries,
+               CASE WHEN json_array_length(media_ref, '$.geometries.boundaries') = 1
+                    THEN 'POLYGON' ELSE 'MULTIPOLYGON' END AS geom_type
+        FROM ({_SQL_MEDIA}) WHERE entity_type = 'HATCH'
+    """
+
+    o["q_text_color_dist"] = f"""
+        SELECT entity_type,
+               CAST(json_extract(media_ref, '$.geometries.color') AS INT) AS color,
+               COUNT(*) AS n
+        FROM ({_SQL_MEDIA}) WHERE entity_type IN ('TEXT', 'MTEXT')
+        GROUP BY 1, 2
+    """
+
+    o["q_embedding_neardup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """
+
+    o["q_dedup_keep"] = f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
     """
 
     _cyr = "length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))"
