@@ -1,0 +1,81 @@
+"""Structured Streaming over the events table shape.
+
+The reference is batch-only (SURVEY §2.9) and the north_rule pipeline is
+resumable batch — but a training-data engine also ingests continuously,
+so the engine ships the streaming counterparts of its batch aggregations
+with a batch/stream parity contract: the same transformation function is
+applied to a batch DataFrame and a readStream DataFrame, and
+``availableNow`` runs must produce identical results (tested in
+tests/test_streaming.py).
+
+Scale notes: windowed aggregation state is bounded by the watermark;
+dedup uses dropDuplicatesWithinWatermark so the key cache also expires;
+sinks go through foreachBatch → the lineage-checkpointed writer
+(plans/lineage.py) for exactly-once parquet/Iceberg appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an events parquet directory (the sandbox
+    stand-in for Kafka/Kinesis; swapping the source leaves every
+    transformation below unchanged)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per (hour, event_type) counts + value sums. Works identically on
+    batch and streaming inputs (the parity contract)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2)
+             .alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream by event_id: state expires with the
+    watermark instead of growing forever (dropDuplicatesWithinWatermark)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      query_name: str = "events_agg") -> list:
+    """Drain everything currently available through a memory sink and
+    return the rows — the deterministic harness used by the parity tests
+    (and the shape of a backfill run in production: availableNow +
+    durable checkpoint = resumable incremental batch)."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

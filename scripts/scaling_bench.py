@@ -1,0 +1,71 @@
+"""Scaling-efficiency evidence (north_rule: throughput scaling efficiency
+≥ 0.8 from N to 4N executors, sandboxed as local[8] vs local[32] on the
+same input — see BASELINE.md "Target scaling criterion").
+
+Runs bench.py in a fresh JVM per parallelism level (master is fixed at
+session start, so two levels can't share one process), parses each run's
+JSON line, and reports throughput at both levels plus
+
+    efficiency = (throughput_32 / throughput_8) / (32 / 8)
+
+over the spatial pipeline (decode + PIP join + tile pyramid), which is
+the scalable portion of the job; per-query walls are kept for drill-down.
+Writes BENCH_SCALING.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = (8, 32)
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
+               BENCH_WORK_DIR=os.path.join(REPO, "data", f"bench_work_{cpus}"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600)
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from bench at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    results = {}
+    for cpus in LEVELS:
+        r = run_level(cpus)
+        results[cpus] = r
+        print(f"local[{cpus}]: spatial {r['geoms_per_sec']} geoms/sec, "
+              f"{r['docs_per_sec']} docs/sec, total {r['value']}s", file=sys.stderr)
+    lo, hi = LEVELS
+    eff = (results[hi]["geoms_per_sec"] / results[lo]["geoms_per_sec"]) / (hi / lo)
+    eff_docs = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    report = {
+        "metric": f"throughput scaling efficiency local[{lo}] -> local[{hi}]",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "passes_north_rule": eff >= 0.8,
+        "sf": results[hi]["sf"],
+        "levels": {
+            str(c): {"geoms_per_sec": results[c]["geoms_per_sec"],
+                     "docs_per_sec": results[c]["docs_per_sec"],
+                     "total_sec": results[c]["value"],
+                     "queries": results[c]["queries"]}
+            for c in LEVELS
+        },
+        "efficiency_docs": round(eff_docs, 3),
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

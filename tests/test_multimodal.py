@@ -1,0 +1,87 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism. The codec is
+a documented stub (functions/multimodal.py seam) — the Spark-side
+contract is what's under test."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dxf_postgis_converter_spark.functions.multimodal import (
+    FEATURE_DIM,
+    _decode_image,
+    _decode_image_real,
+    audio_stats,
+    frame_sample,
+    image_features,
+    resize_images,
+    synthetic_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return synthetic_assets(spark, 60).cache()
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x00", 4, 4)
+
+
+def test_fake_decode_deterministic():
+    a = _decode_image(b"payload-bytes", 8, 6)
+    b = _decode_image(b"payload-bytes", 8, 6)
+    assert a.shape == (6, 8, 3) and a.dtype == np.uint8
+    assert (a == b).all()
+    assert not (_decode_image(b"other", 8, 6) == a).all()
+
+
+def test_asset_table_shape(assets):
+    assert assets.count() == 60
+    kinds = {r.kind for r in assets.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    img = assets.filter("kind = 'image'").first()
+    assert img.meta.width >= 16 and img.meta.codec == "png"
+
+
+def test_image_features_shape_and_determinism(assets):
+    f1 = image_features(assets).orderBy("asset_id").collect()
+    f2 = image_features(assets).orderBy("asset_id").collect()
+    assert len(f1) == assets.filter("kind = 'image'").count()
+    assert all(len(r.feature) == FEATURE_DIM for r in f1)
+    assert all(0.0 <= v <= 1.0 for v in f1[0].feature)
+    assert [r.feature for r in f1] == [r.feature for r in f2]
+
+
+def test_features_feed_similarity(assets):
+    from dxf_postgis_converter_spark.operators.similarity import brute_force_topk
+    feats = image_features(assets).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").cast("array<double>").alias("embedding"))
+    qs = feats.limit(2).select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("query_vec"))
+    topk = brute_force_topk(feats, qs, k=3)
+    assert topk.groupBy("query_id").count().collect()[0]["count"] == 3
+    # self-match ranks first with cosine 1
+    self_hits = topk.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1))
+    assert self_hits.count() == 2
+
+
+def test_resize_payload_size(assets):
+    out = resize_images(assets, 16, 12).collect()
+    assert all(len(r.payload) == 16 * 12 * 3 for r in out)
+    assert all((r.width, r.height) == (16, 12) for r in out)
+
+
+def test_frame_sample_counts(assets):
+    frames = frame_sample(assets, every_ms=1000)
+    got = {r.asset_id: r.n for r in
+           frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
+    for r in assets.filter("kind = 'video'").select("asset_id", "meta.duration_ms").collect():
+        assert got[r.asset_id] == (r.duration_ms + 999) // 1000
+
+
+def test_audio_stats(assets):
+    st = audio_stats(assets).collect()
+    assert len(st) == assets.filter("kind = 'audio'").count()
+    assert all(r.n_samples > 0 and r.rms > 0 for r in st)
