@@ -8,6 +8,7 @@ no Python in the hot path. They run over the driver `documents` table
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -82,3 +83,22 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint = md5 of normalized text (md5 exists in both
     Spark and DuckDB → value-level oracle parity)."""
     return F.md5(normalize_text(text))
+
+
+def dxf_unicode_unescape(text: Column) -> Column:
+    """DXF ``\\U+XXXX`` escape → the Unicode character (F5; legacy plugin
+    fnc4ADXF2Shape.py:60-74 decodes the same escapes before shapefile
+    export). Implemented as a single JVM regexp_replace via the \\uXXXX
+    string-literal trick is impossible (codepoint is data, not literal),
+    so this uses one vectorized pandas pass — cold path only (labels)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(r"\\U\+([0-9A-Fa-f]{4})")
+
+    @pandas_udf("string")
+    def _unescape(s: pd.Series) -> pd.Series:
+        return s.str.replace(pat, lambda m: chr(int(m.group(1), 16)), regex=True)
+
+    return _unescape(text)

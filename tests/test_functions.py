@@ -80,3 +80,12 @@ def test_text_functions(spark):
     # fingerprint is whitespace/case-insensitive
     df2 = spark.createDataFrame([("Hello   WORLD the cat",)], "text string")
     assert df2.select(fingerprint(F.col("text"))).first()[0] == rows[0].fp
+
+
+def test_dxf_unicode_unescape(spark):
+    from dxf_postgis_converter_spark.functions.text import dxf_unicode_unescape
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("\\U+0424 dom \\U+2116 5",), ("plain",), ("bad \\U+ZZZZ",), ("",)], "t string")
+    got = [r.u for r in df.select(dxf_unicode_unescape(F.col("t")).alias("u")).collect()]
+    assert got == ["Ф dom № 5", "plain", "bad \\U+ZZZZ", ""]
