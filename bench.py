@@ -67,8 +67,10 @@ def main() -> None:
         fn()
         times[name] = round(time.time() - t0, 3)
 
-    # stage 1 — decode: spans → entities table (the Arrow-batched UDF path)
-    timed("decode", lambda: decode_documents(docs)
+    # stage 1 — decode: spans → entities table (the Arrow-batched UDF path);
+    # media_ref is reconstructable from data_json (operators/reconstruct.py)
+    # so the persisted entities table doesn't carry the second JSON copy
+    timed("decode", lambda: decode_documents(docs, keep_media_ref=False)
           .write.mode("overwrite").parquet(ents_path))
     ents = spark.read.parquet(ents_path)
     n_geoms = ents.filter(F.col("geometry_wkb").isNotNull()).count()

@@ -357,7 +357,17 @@ ZONES_SCHEMA = T.StructType([
 # on-disk cache
 # ---------------------------------------------------------------------------
 
-REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "corpus")
+def _data_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_DATA_DIR")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if ".zip" in here:  # imported from spark-submit --py-files: no repo layout
+        return os.path.join(os.getcwd(), "data", "corpus")
+    return os.path.join(here, "data", "corpus")
+
+
+REPO_DATA = _data_root()
 
 
 def corpus_dir(sf: float) -> str:

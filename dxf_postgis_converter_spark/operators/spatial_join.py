@@ -48,19 +48,31 @@ def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1) 
     return cover
 
 
-_REFINE_KEEP_ERR = "refine batch missing zone geometry"
-
-
 def _refine_batches(batches, x_col: str, y_col: str):
-    """Exact PIP per (zone within batch): parse each zone ring once,
-    vectorized ray casting over all its candidate points."""
+    """Exact containment refine, ONE pass over all candidate kinds:
+    rect zones by a vectorized bbox compare (no WKB parse), circle/poly
+    zones by ray casting with the zone ring parsed once per partition.
+    Handling rects here (instead of a separate JVM branch) keeps the
+    candidate join single-consumer — a two-branch union would recompute
+    the probe-side scan + join twice (see git history)."""
     ring_cache: dict[str, np.ndarray] = {}
     for pdf in batches:
         if len(pdf) == 0:
             continue
         pdf = pdf.reset_index(drop=True)
         keep = np.zeros(len(pdf), dtype=bool)
-        for zid, grp in pdf.groupby("zone_id", sort=False):
+        xs = pdf[x_col].to_numpy()
+        ys = pdf[y_col].to_numpy()
+        is_rect = (pdf["kind"] == "rect").to_numpy()
+        if is_rect.any():
+            keep[is_rect] = (
+                (xs[is_rect] >= pdf["z_xmin"].to_numpy()[is_rect])
+                & (xs[is_rect] <= pdf["z_xmax"].to_numpy()[is_rect])
+                & (ys[is_rect] >= pdf["z_ymin"].to_numpy()[is_rect])
+                & (ys[is_rect] <= pdf["z_ymax"].to_numpy()[is_rect])
+            )
+        rest = pdf[~is_rect]
+        for zid, grp in rest.groupby("zone_id", sort=False):
             ring = ring_cache.get(zid)
             if ring is None:
                 code, rings = parse_wkb(bytes(grp["geometry_wkb"].iloc[0]))
@@ -98,25 +110,21 @@ def point_in_polygon_join(
 
     cand = p.join(cover, join_keys, "inner")
 
-    # rect zones: exact containment is column arithmetic — never leaves JVM
-    rect = cand.filter(
-        (F.col("kind") == "rect")
-        & (F.col(x_col) >= F.col("z_xmin")) & (F.col(x_col) <= F.col("z_xmax"))
-        & (F.col(y_col) >= F.col("z_ymin")) & (F.col(y_col) <= F.col("z_ymax"))
-    ).select(*probe_cols, "zone_id")
-
-    # circle/polygon zones: Arrow-batched exact refine
-    other = cand.filter(F.col("kind") != "rect")
-    refine_in = other.select(*probe_cols, "zone_id", "geometry_wkb")
+    # one Arrow-batched refine pass over ALL candidates (rect rows are a
+    # vectorized bbox compare inside the same stage — no WKB parse, and no
+    # second consumer of the candidate join)
+    extra = ["zone_id", "kind", "z_xmin", "z_ymin", "z_xmax", "z_ymax", "geometry_wkb"]
+    refine_in = cand.select(*probe_cols, *extra)
     schema = T.StructType(
         [probes.schema[c] for c in probe_cols]
-        + [T.StructField("zone_id", T.StringType()), T.StructField("geometry_wkb", T.BinaryType())]
+        + [T.StructField("zone_id", T.StringType()), T.StructField("kind", T.StringType()),
+           T.StructField("z_xmin", T.DoubleType()), T.StructField("z_ymin", T.DoubleType()),
+           T.StructField("z_xmax", T.DoubleType()), T.StructField("z_ymax", T.DoubleType()),
+           T.StructField("geometry_wkb", T.BinaryType())]
     )
-    refined = refine_in.mapInPandas(
+    return refine_in.mapInPandas(
         lambda it: _refine_batches(it, x_col, y_col), schema=schema
     ).select(*probe_cols, "zone_id")
-
-    return rect.unionByName(refined)
 
 
 def bbox_intersects_join(

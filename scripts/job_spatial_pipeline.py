@@ -1,0 +1,75 @@
+"""spark-submit entry point: the full checkpointed spatial pipeline.
+
+Deployment shape required by the north_rule — ``spark-submit --py-files
+dist/dxf_postgis_converter_spark.zip scripts/job_spatial_pipeline.py`` —
+so the package must be importable from the zip alone (no repo checkout on
+executors). scripts/submit.sh builds the zip and invokes spark-submit;
+the same command line works unchanged against a cluster master.
+
+Stages (each lineage-checkpointed, idempotently resumable):
+  decode   documents → entities parquet
+  pip      entities(points) ⋈ zones → per-zone counts
+  tiles    tile pyramid z8→z4
+
+Prints one JSON line per stage + a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.001)
+    ap.add_argument("--out", default="/tmp/spatial_pipeline_out")
+    ap.add_argument("--snapshot", default="v1")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    args = ap.parse_args()
+
+    # import AFTER SparkSession exists so the zip on --py-files resolves
+    spark = SparkSession.builder.appName("spatial-pipeline").getOrCreate()
+    from dxf_postgis_converter_spark.corpus import load_documents, load_zones
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
+    from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+    from dxf_postgis_converter_spark.plans.lineage import LineageLog, run_stage
+
+    lineage = LineageLog(os.path.join(args.out, "lineage"))
+    docs = load_documents(spark, args.sf)
+    zones = load_zones(spark, args.sf)
+
+    s1 = run_stage(
+        spark, stage="decode", snapshot_id=args.snapshot, source=docs,
+        transform=lambda df: decode_documents(df, keep_media_ref=False),
+        out_dir=os.path.join(args.out, "entities"), lineage=lineage,
+        n_buckets=args.n_buckets)
+    print(json.dumps(s1))
+
+    ents = spark.read.parquet(os.path.join(args.out, "entities"))
+    pts = ents.filter(F.col("geom_type") == "POINT").select(
+        "doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    pip = point_in_polygon_join(pts, zones, res=6) \
+        .groupBy("zone_id").agg(F.count("*").alias("n"))
+    pip.write.mode("overwrite").parquet(os.path.join(args.out, "zone_counts"))
+    n_zones = spark.read.parquet(os.path.join(args.out, "zone_counts")).count()
+    print(json.dumps({"stage": "pip", "zones_with_hits": n_zones}))
+
+    tiles = tile_pyramid_counts(ents.filter(F.col("xmin").isNotNull()), z_max=8, z_min=4)
+    tiles.write.mode("overwrite").parquet(os.path.join(args.out, "tile_counts"))
+    n_tiles = spark.read.parquet(os.path.join(args.out, "tile_counts")).count()
+    print(json.dumps({"stage": "tiles", "tiles": n_tiles}))
+
+    print(json.dumps({"status": "ok", "entities": s1["rows"],
+                      "zones_with_hits": n_zones, "tiles": n_tiles}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
