@@ -38,8 +38,11 @@ from dxf_postgis_converter_spark.operators.dedup import (
 )
 from dxf_postgis_converter_spark.operators.knn import knn_join
 from dxf_postgis_converter_spark.operators.merge_modes import add_objects, overwrite_layers
+from dxf_postgis_converter_spark.functions.multimodal import (
+    frame_sample, image_features, synthetic_assets,
+)
 from dxf_postgis_converter_spark.operators.reconstruct import (
-    reconstruct_documents, span_mismatches,
+    reconstruct_documents, save_selected_by_handles, span_mismatches,
 )
 from dxf_postgis_converter_spark.operators.similarity import brute_force_topk, lsh_topk
 from dxf_postgis_converter_spark.operators.spatial_join import (
@@ -440,6 +443,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
     q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
 
+    def q_save_selected(spark, sf_dir):  # S11 filtered copy by handle set
+        docs = corpus_documents(spark, sf_dir)
+        ents = decode_documents(docs)
+        sel = ents.filter(F.col("span_offset") % 2 == 0).select(F.col("handle"))
+        out = save_selected_by_handles(docs, sel)
+        return out.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("offset"))
+    q["q_save_selected"] = q_save_selected
+
+    def q_image_features_sample(spark, sf_dir):  # multimodal: stubbed-codec pipeline
+        assets = synthetic_assets(spark, 90)
+        return image_features(assets).select(
+            "asset_id", "width", "height",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"))
+    q["q_image_features_sample"] = q_image_features_sample
+
+    def q_frame_sample(spark, sf_dir):  # multimodal: video frame sampling plan
+        assets = synthetic_assets(spark, 90)
+        return frame_sample(assets, every_ms=1000).groupBy("asset_id") \
+            .agg(F.count("*").alias("n_frames"))
+    q["q_frame_sample"] = q_frame_sample
+
     def q_adaptive_cell_stats(spark, sf_dir):  # skew: hot-cell adaptive split report
         pts = _media(spark, sf_dir).filter(F.col("geom_type") == "POINT").select(
             F.col("xmin").alias("x"), F.col("ymin").alias("y"), "handle")
@@ -787,6 +812,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1
+    """
+
+    # selected handles ≙ media spans at even offsets (handles are unique per
+    # span), so the filtered copy keeps text spans + even-offset media spans
+    o["q_save_selected"] = f"""
+        SELECT doc_id, s.kind AS kind, s.offset AS offset
+        FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
+        WHERE s.kind = 'text' OR (s.kind = 'media' AND s.offset % 2 = 0)
     """
 
     _cyr = "length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))"

@@ -129,3 +129,32 @@ def layer_fingerprints(entities: DataFrame) -> DataFrame:
         F.coalesce(F.size(gkeys), F.lit(0)).cast("string"))
     return entities.groupBy("layer", fp.alias("fingerprint")) \
         .agg(F.count("*").alias("n"))
+
+
+def save_selected_by_handles(documents: DataFrame, handles: DataFrame) -> DataFrame:
+    """Filtered copy (S11, dxf_writer.py:24-51): documents with media
+    spans not in the handle set removed; text spans and original offsets
+    preserved (the reference deletes unselected entities in place).
+
+    Handle normalization is upper+strip, copying dxf_writer.py:34. The
+    whole op is JVM column algebra — handle extraction via
+    get_json_object, broadcast semi-join, array re-assembly."""
+    h = F.broadcast(
+        handles.select(F.upper(F.trim(F.col("handle"))).alias("_h")).distinct())
+    spans = documents.select("doc_id", F.explode("spans").alias("s"))
+    media = spans.filter(F.col("s.kind") == "media").withColumn(
+        "_h", F.upper(F.trim(F.get_json_object(F.col("s.media_ref"), "$.handle"))))
+    kept = media.join(h, "_h", "left_semi").select("doc_id", "s") \
+        .unionByName(spans.filter(F.col("s.kind") != "media").select("doc_id", "s"))
+    sorted_spans = F.array_sort(F.collect_list(
+        F.struct(F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
+                 F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"))))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.transform(
+            sorted_spans,
+            lambda s: F.struct(
+                s.kind.alias("kind"), s.text.alias("text"),
+                s.media_ref.alias("media_ref"), s.offset.alias("offset")),
+        ).alias("spans"))
+    )

@@ -70,3 +70,28 @@ def test_mismatch_detected_when_corrupted(spark, docs, rebuilt):
         F.when(F.col("doc_id") == rebuilt.select("doc_id").first().doc_id,
                F.slice("spans", 1, F.size("spans") - 1)).otherwise(F.col("spans")))
     assert span_mismatches(docs, corrupted).count() == 1
+
+
+def test_save_selected_by_handles(spark, docs):
+    """S11: unselected media spans removed, text spans + order kept."""
+    from dxf_postgis_converter_spark.operators.reconstruct import save_selected_by_handles
+    ents = decode_documents(docs)
+    # select every media span whose offset is even (mixed-case handles)
+    sel = ents.filter(F.col("span_offset") % 2 == 0) \
+        .select(F.upper(F.col("handle")).alias("handle"))
+    out = save_selected_by_handles(docs, sel).cache()
+
+    exploded = out.select("doc_id", F.explode("spans").alias("s"))
+    kept_media = exploded.filter(F.col("s.kind") == "media")
+    assert kept_media.filter(F.col("s.offset") % 2 == 1).count() == 0
+    expected_media = ents.filter(F.col("span_offset") % 2 == 0).count()
+    assert kept_media.count() == expected_media
+    # text spans untouched
+    orig_text = docs.select(F.explode("spans").alias("s")).filter(F.col("s.kind") == "text")
+    assert exploded.filter(F.col("s.kind") == "text").count() == orig_text.count()
+    # offsets strictly increasing within each doc (original order preserved)
+    bad = out.filter(~F.forall(
+        F.zip_with(F.slice("spans", 1, F.size("spans") - 1),
+                   F.slice("spans", 2, F.size("spans") - 1),
+                   lambda a, b: a.offset < b.offset), lambda ok: ok))
+    assert bad.count() == 0
