@@ -116,10 +116,12 @@ def minhash_lsh_pairs(
     sig = sig.withColumn("_bhash", F.xxhash64(F.slice(F.col("sig"), F.col("_band") * r + 1, r)))
     buckets = sig.select(id_col, "sig", "_band", "_bhash")
 
-    # cap pathological buckets
+    # cap pathological buckets: the HOT set (count > cap) is tiny by
+    # definition (the skewed tail) → broadcast anti-join; broadcasting the
+    # complement (all ok buckets ≈ bands × docs rows) would not scale
     sizes = buckets.groupBy("_band", "_bhash").count()
-    ok = sizes.filter(F.col("count") <= max_bucket).drop("count")
-    buckets = buckets.join(F.broadcast(ok) if max_bucket <= 10000 else ok, ["_band", "_bhash"])
+    hot = sizes.filter(F.col("count") > max_bucket).drop("count")
+    buckets = buckets.join(F.broadcast(hot), ["_band", "_bhash"], "left_anti")
 
     a = buckets.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "_band", "_bhash")
     b = buckets.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "_band", "_bhash")

@@ -6,8 +6,10 @@ Plan shape (SURVEY §2.4 J10, §4.3/§4.4):
   probes --cell(res)---->  probe cell [, salt]                    [JVM]
   equi-join on cell (broadcast when the cover table is small,
   shuffled otherwise; optional salting for hot cells)             [JVM]
-  exact refine: rect zones by pure column compare; circle/poly
-  zones by ONE Arrow-batched mapInPandas ray-casting pass          [mixed]
+  exact refine: ONE Arrow-batched mapInPandas pass over all
+  candidates — rect zones by a vectorized bbox compare, circle/
+  poly zones by ray casting (single consumer of the join: a
+  rect/other branch union would scan the probe side twice)        [Arrow]
 
 Scale notes:
 - the cover table is tiny relative to probes (zones × cells-per-zone), so
