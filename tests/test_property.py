@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) for the pure kernels: WKB
+round-trip, quadtree cell algebra, point-in-polygon vs an independent
+winding-number implementation. No Spark session needed — these are the
+functions the distributed operators are built from."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dxf_postgis_converter_spark.geometry.predicates import points_in_polygon
+from dxf_postgis_converter_spark.geometry.wkb import (
+    parse_wkb,
+    wkb_bbox,
+    wkb_linestring,
+    wkb_multipolygon,
+    wkb_point,
+    wkb_polygon,
+)
+from dxf_postgis_converter_spark.index.grid import (
+    EXTENT,
+    cell_id_py,
+    cell_size,
+    covers_py,
+)
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64)
+coord = st.floats(min_value=0, max_value=EXTENT - 1e-6, allow_nan=False, width=64)
+triple = st.tuples(finite, finite, finite)
+
+
+@given(triple)
+def test_wkb_point_roundtrip(p):
+    code, a = parse_wkb(wkb_point(*p))
+    assert code == 1001
+    assert a.shape == (1, 3) and tuple(a[0]) == p
+
+
+@given(st.lists(triple, min_size=2, max_size=50))
+def test_wkb_linestring_roundtrip(pts):
+    code, a = parse_wkb(wkb_linestring(pts))
+    assert code == 1002
+    assert np.array_equal(a, np.asarray(pts))
+
+
+@given(st.lists(triple, min_size=3, max_size=30))
+def test_wkb_polygon_ring_closed(pts):
+    code, rings = parse_wkb(wkb_polygon(pts))
+    assert code == 1003 and len(rings) == 1
+    r = rings[0]
+    assert np.array_equal(r[0], r[-1])          # always closed
+    assert np.array_equal(r[: len(pts)], np.asarray(pts))  # content preserved
+    # re-encoding the parsed (already closed) ring is byte-identical
+    assert wkb_polygon(r) == wkb_polygon(pts)
+
+
+@given(st.lists(st.lists(triple, min_size=3, max_size=10), min_size=1, max_size=5))
+def test_wkb_multipolygon_roundtrip_and_bbox(polys):
+    buf = wkb_multipolygon(polys)
+    code, parsed = parse_wkb(buf)
+    assert code == 1006 and len(parsed) == len(polys)
+    flat = np.vstack([np.asarray(p) for p in polys])
+    xmin, ymin, xmax, ymax = wkb_bbox(buf)
+    assert (xmin, ymin) == (flat[:, 0].min(), flat[:, 1].min())
+    assert (xmax, ymax) == (flat[:, 0].max(), flat[:, 1].max())
+
+
+@given(coord, coord, st.integers(min_value=0, max_value=14))
+def test_cell_contains_its_point(x, y, res):
+    cell = cell_id_py(x, y, res)
+    s = cell_size(res)
+    ix = (cell >> 29) & ((1 << 29) - 1)
+    iy = cell & ((1 << 29) - 1)
+    assert ix * s <= x < (ix + 1) * s or x >= EXTENT - s  # border clamp
+    assert iy * s <= y < (iy + 1) * s or y >= EXTENT - s
+    assert cell >> 58 == res
+
+
+@given(coord, coord, st.integers(min_value=1, max_value=14))
+def test_parent_relationship(x, y, res):
+    child = cell_id_py(x, y, res)
+    parent = cell_id_py(x, y, res - 1)
+    assert ((child >> 29) & ((1 << 29) - 1)) >> 1 == (parent >> 29) & ((1 << 29) - 1)
+    assert (child & ((1 << 29) - 1)) >> 1 == parent & ((1 << 29) - 1)
+
+
+@given(coord, coord, coord, coord, st.integers(min_value=0, max_value=10),
+       coord, coord)
+def test_covers_contains_inner_point_cell(x0, y0, x1, y1, res, px, py):
+    xmin, xmax = sorted((x0, x1))
+    ymin, ymax = sorted((y0, y1))
+    cells = covers_py(xmin, ymin, xmax, ymax, res)
+    assert cell_id_py(xmin, ymin, res) in cells
+    assert cell_id_py(xmax, ymax, res) in cells
+    if xmin <= px <= xmax and ymin <= py <= ymax:
+        assert cell_id_py(px, py, res) in cells
+
+
+def _winding_contains(px, py, ring):
+    """Independent oracle: nonzero winding number (strict interior)."""
+    x = ring[:, 0] - px
+    y = ring[:, 1] - py
+    x2 = np.roll(x, -1)[:-1]
+    y2 = np.roll(y, -1)[:-1]
+    x1, y1 = x[:-1], y[:-1]
+    ang = np.arctan2(x1 * y2 - y1 * x2, x1 * x2 + y1 * y2)
+    return abs(ang.sum()) > np.pi
+
+
+@st.composite
+def convex_polygon(draw):
+    n = draw(st.integers(min_value=3, max_value=12))
+    cx = draw(st.floats(min_value=100, max_value=900))
+    cy = draw(st.floats(min_value=100, max_value=900))
+    r = draw(st.floats(min_value=10, max_value=90))
+    angles = np.sort(np.array(draw(
+        st.lists(st.floats(min_value=0, max_value=2 * np.pi - 1e-3),
+                 min_size=n, max_size=n, unique=True))))
+    ring = np.stack([cx + r * np.cos(angles), cy + r * np.sin(angles)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+@settings(max_examples=60)
+@given(convex_polygon(),
+       st.lists(st.tuples(st.floats(min_value=0, max_value=1000),
+                          st.floats(min_value=0, max_value=1000)),
+                min_size=1, max_size=40))
+def test_pip_matches_winding_oracle(ring, pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    got = points_in_polygon(xs, ys, ring)
+    for i in range(len(pts)):
+        # skip points within float-noise of the boundary (semantics differ
+        # only there: ray casting is boundary-inclusive, winding is strict)
+        d = np.min(np.hypot(ring[:, 0] - xs[i], ring[:, 1] - ys[i]))
+        if d < 1e-6:
+            continue
+        want = _winding_contains(xs[i], ys[i], ring)
+        if got[i] != want:
+            # disagreement allowed only on the boundary; re-check via a
+            # tiny inward/outward perturbation consistency
+            assert abs(_signed_min_edge_dist(xs[i], ys[i], ring)) < 1e-6
+    # vectorized result matches per-point evaluation
+    single = np.array([points_in_polygon(np.array([x]), np.array([y]), ring)[0]
+                       for x, y in pts])
+    assert np.array_equal(got, single)
+
+
+def _signed_min_edge_dist(px, py, ring):
+    a = ring[:-1]
+    b = ring[1:]
+    ab = b - a
+    ap = np.stack([px - a[:, 0], py - a[:, 1]], axis=1)
+    t = np.clip((ap * ab).sum(1) / np.maximum((ab * ab).sum(1), 1e-300), 0, 1)
+    proj = a + t[:, None] * ab
+    return np.min(np.hypot(proj[:, 0] - px, proj[:, 1] - py))
