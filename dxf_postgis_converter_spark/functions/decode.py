@@ -446,9 +446,16 @@ ENTITY_SCHEMA = T.StructType([
 _REC_COLS = ("handle", "layer", "entity_type", "name", "geometry_wkb",
              "geom_type", "xmin", "ymin", "xmax", "ymax", "data_json", "error")
 
+# schema variant without the second JSON copy: when the caller doesn't
+# want media_ref, not emitting it saves ~40% of the Arrow return volume
+# (dropping the column AFTER the UDF would still serialize it)
+ENTITY_SCHEMA_NOREF = T.StructType(
+    [f for f in ENTITY_SCHEMA.fields if f.name != "media_ref"])
 
-def _decode_batches(batches):
-    cols = [f.name for f in ENTITY_SCHEMA.fields]
+
+def _decode_batches(batches, emit_media_ref: bool = True):
+    schema = ENTITY_SCHEMA if emit_media_ref else ENTITY_SCHEMA_NOREF
+    cols = [f.name for f in schema.fields]
     for pdf in batches:
         n = len(pdf)
         if n == 0:
@@ -469,7 +476,8 @@ def _decode_batches(batches):
         data = dict(zip(_REC_COLS, zip(*recs)))
         data["doc_id"] = pdf["doc_id"].to_numpy()
         data["span_offset"] = pdf["offset"].astype("int32").to_numpy()
-        data["media_ref"] = refs
+        if emit_media_ref:
+            data["media_ref"] = refs
         yield pd.DataFrame(data, columns=cols)
 
 
@@ -488,10 +496,11 @@ def decode_documents(documents: DataFrame, keep_media_ref: bool = True) -> DataF
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     ).filter(F.col("kind") == "media").drop("kind")
-    ents = spans.mapInPandas(_decode_batches, schema=ENTITY_SCHEMA)
-    if not keep_media_ref:
-        ents = ents.drop("media_ref")
-    return ents
+    if keep_media_ref:
+        return spans.mapInPandas(_decode_batches, schema=ENTITY_SCHEMA)
+    return spans.mapInPandas(
+        lambda it: _decode_batches(it, emit_media_ref=False),
+        schema=ENTITY_SCHEMA_NOREF)
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
