@@ -48,3 +48,44 @@ def test_knn_vs_bruteforce(knn_data, k, res):
         assert [t for _, t, _ in rows] == [t for t, _ in exp[pid]]
         for (_, _, dg), (_, de) in zip(rows, exp[pid]):
             assert dg == pytest.approx(de, rel=1e-12)
+
+
+def test_knn_fewer_targets_than_k(spark):
+    """With < k targets total, probes never reach k candidates; the loop
+    terminates at full ring and such probes are absent from the result
+    (documented semantics — no partial rows, no hang)."""
+    tdf = spark.createDataFrame(
+        [("t0", 10.0, 10.0), ("t1", 20.0, 20.0)], "target_id string, x double, y double")
+    pdf = spark.createDataFrame([("p0", 15.0, 15.0)], "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=5, res=4)
+    assert got.count() == 0
+
+
+def test_knn_exact_k_targets(spark):
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(i * 100), 0.0) for i in range(5)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame([("p0", 0.0, 0.0)], "probe_id string, x double, y double")
+    rows = knn_join(pdf, tdf, k=5, res=6).orderBy("rank").collect()
+    assert [r.target_id for r in rows] == ["t0", "t1", "t2", "t3", "t4"]
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_knn_tie_determinism(spark):
+    """Four equidistant targets: ranks break ties by target_id."""
+    tdf = spark.createDataFrame(
+        [("a", 10.0, 0.0), ("b", -10.0, 0.0), ("c", 0.0, 10.0), ("d", 0.0, -10.0)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame([("p", 0.0, 0.0)], "probe_id string, x double, y double")
+    r1 = [(r.target_id, r.rank) for r in knn_join(pdf, tdf, k=3, res=5).orderBy("rank").collect()]
+    r2 = [(r.target_id, r.rank) for r in knn_join(pdf, tdf, k=3, res=5).orderBy("rank").collect()]
+    assert r1 == r2 == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_knn_probe_on_target(spark):
+    """A probe colocated with a target gets it at dist 0, rank 1."""
+    tdf = spark.createDataFrame(
+        [("t0", 50.0, 50.0), ("t1", 60.0, 60.0)], "target_id string, x double, y double")
+    pdf = spark.createDataFrame([("p", 50.0, 50.0)], "probe_id string, x double, y double")
+    top = knn_join(pdf, tdf, k=1, res=6).first()
+    assert top.target_id == "t0" and top.dist == 0.0 and top.rank == 1
