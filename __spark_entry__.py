@@ -443,6 +443,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
     q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
 
+    def q_geom_type_dist(spark, sf_dir):  # P7 + global C1-C29 geometry-kind parity
+        return (_media(spark, sf_dir)
+                .groupBy("geom_type", "entity_type").agg(F.count("*").alias("n")))
+    q["q_geom_type_dist"] = q_geom_type_dist
+
     def q_save_selected(spark, sf_dir):  # S11 filtered copy by handle set
         docs = corpus_documents(spark, sf_dir)
         ents = decode_documents(docs)
@@ -812,6 +817,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1
+    """
+
+    # geometry-kind rules per converter family (decode.py _cv_*): point
+    # types, line types, polygon types, closed-polyline rule, HATCH
+    # single/multi rule, None for the no-geometry family
+    o["q_geom_type_dist"] = f"""
+        SELECT geom_type, entity_type, COUNT(*) AS n FROM (
+          SELECT entity_type,
+            CASE
+              WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT','SHAPE',
+                                   'VIEWPORT','IMAGE','MULTILEADER','VERTEX') THEN 'POINT'
+              WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
+                                   'LEADER','HELIX') THEN 'LINESTRING'
+              WHEN entity_type IN ('CIRCLE','3DFACE','SOLID','TRACE') THEN 'POLYGON'
+              WHEN entity_type IN ('POLYLINE','LWPOLYLINE') THEN
+                CASE WHEN CAST(json_extract(media_ref,'$.geometries.is_closed') AS BOOLEAN)
+                          AND json_array_length(media_ref,'$.geometries.points') >= 3
+                     THEN 'POLYGON' ELSE 'LINESTRING' END
+              WHEN entity_type = 'HATCH' THEN
+                CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
+                     THEN 'POLYGON' ELSE 'MULTIPOLYGON' END
+              ELSE NULL END AS geom_type
+          FROM ({_SQL_MEDIA})) GROUP BY 1, 2
     """
 
     # selected handles ≙ media spans at even offsets (handles are unique per
