@@ -49,6 +49,7 @@ from dxf_postgis_converter_spark.operators.spatial_join import (
     bbox_intersects_join, point_in_polygon_join,
 )
 from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+from dxf_postgis_converter_spark.streaming.sessions import sessionize_batch
 from dxf_postgis_converter_spark.sources.tables import (
     corpus_documents, corpus_zones, load_table, sf_of_dir,
 )
@@ -443,6 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
     q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
 
+    def q_sessionize(spark, sf_dir):  # gap sessionization (batch twin of the
+        # applyInPandasWithState streaming operator, streaming/sessions.py)
+        e = load_table(spark, sf_dir, "events")
+        return sessionize_batch(e, gap_min=30)
+    q["q_sessionize"] = q_sessionize
+
     def q_geom_type_dist(spark, sf_dir):  # P7 + global C1-C29 geometry-kind parity
         return (_media(spark, sf_dir)
                 .groupBy("geom_type", "entity_type").agg(F.count("*").alias("n")))
@@ -817,6 +824,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1
+    """
+
+    # gaps-and-islands: new session when the lag gap exceeds 30 min
+    o["q_sessionize"] = """
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        FROM (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+        GROUP BY user_id, sid
     """
 
     # geometry-kind rules per converter family (decode.py _cv_*): point

@@ -1,0 +1,69 @@
+"""Custom stateful operator: gap sessionization — batch twin vs
+applyInPandasWithState streaming twin."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from dxf_postgis_converter_spark.streaming.events import EVENTS_SCHEMA, read_event_stream
+from dxf_postgis_converter_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def small_events(spark):
+    e = spark.read.parquet(EVENTS).select("event_id", "ts", "user_id", "event_type", "value")
+    return e.filter(F.col("user_id") < 8).cache()
+
+
+def test_batch_sessions_shape(small_events):
+    s = sessionize_batch(small_events, gap_min=30)
+    rows = s.collect()
+    assert len(rows) > 0
+    assert all(r.session_start <= r.session_end for r in rows)
+    # session event counts add up
+    assert sum(r.n_events for r in rows) == small_events.count()
+
+
+def test_batch_gap_splits(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=m), 1, "c", 1.0)
+            for i, m in enumerate([0, 10, 20, 120, 125])]  # 100-min gap splits
+    e = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    s = sessionize_batch(e, gap_min=30).orderBy("session_start").collect()
+    assert len(s) == 2
+    assert s[0].n_events == 3 and s[1].n_events == 2
+
+
+def test_stream_matches_batch(spark, small_events, tmp_path_factory):
+    """Drained availableNow stream (with per-user flush sentinels to push
+    the watermark past every real session) == batch twin on real sessions."""
+    gap = 30
+    max_ts = small_events.agg(F.max("ts")).first()[0]
+    flush_ts = max_ts + dt.timedelta(days=2)
+    sentinels = small_events.select("user_id").distinct().select(
+        F.lit(10**9).alias("event_id"), F.lit(flush_ts).alias("ts"),
+        "user_id", F.lit("flush").alias("event_type"), F.lit(0.0).alias("value"))
+    full = small_events.select(*[f.name for f in EVENTS_SCHEMA.fields]).unionByName(sentinels)
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    ck = str(tmp_path_factory.mktemp("sess_ck"))
+    full.write.mode("overwrite").parquet(src)
+
+    stream = sessionize_stream(read_event_stream(spark, src), gap_min=gap,
+                               watermark="0 seconds")
+    q = (stream.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        f"SELECT * FROM sess_out WHERE session_start < timestamp'{flush_ts}'").collect()
+
+    want = sessionize_batch(small_events, gap_min=gap).collect()
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+    assert sorted(map(key, got)) == sorted(map(key, want))
