@@ -444,6 +444,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
     q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
 
+    def q_raster_align(spark, sf_dir):  # J12: raster tile set ⋈ entity tile cover
+        from dxf_postgis_converter_spark.index.grid import cell_encode
+        from dxf_postgis_converter_spark.operators.tiles import raster_vector_align
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT") \
+            .select("handle", "xmin", "ymin", "xmax", "ymax")
+        txs = spark.range(10, 21).select(F.col("id").alias("tx"))
+        tys = spark.range(10, 21).select(F.col("id").alias("ty"))
+        raster = txs.crossJoin(tys).select(
+            cell_encode(F.col("tx"), F.col("ty"), 6).alias("tile_id"))
+        return raster_vector_align(raster, pts, z=6, broadcast_raster=True) \
+            .select("handle", "tile_id")
+    q["q_raster_align"] = q_raster_align
+
     def q_sessionize(spark, sf_dir):  # gap sessionization (batch twin of the
         # applyInPandasWithState streaming operator, streaming/sessions.py)
         e = load_table(spark, sf_dir, "events")
@@ -824,6 +837,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1
+    """
+
+    o["q_raster_align"] = f"""
+        SELECT handle,
+               6 * 288230376151711744
+               + CAST(FLOOR(x / 128.0) AS BIGINT) * 536870912
+               + CAST(FLOOR(y / 128.0) AS BIGINT) AS tile_id
+        FROM ({_SQL_POINTS})
+        WHERE FLOOR(x / 128.0) BETWEEN 10 AND 20
+          AND FLOOR(y / 128.0) BETWEEN 10 AND 20
     """
 
     # gaps-and-islands: new session when the lag gap exceeds 30 min
