@@ -430,6 +430,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.8)
     q["q_ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
 
+    def q_ivf_topk(spark, sf_dir):  # IVF-bucketed ANN (recall<1 by design)
+        from dxf_postgis_converter_spark.operators.similarity import ivf_topk
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        qs = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        return ivf_topk(e.filter(F.col("vec_id") >= 3), qs, k=5,
+                        n_centroids=16, n_probe=4)
+    q["q_ivf_topk"] = q_ivf_topk
+
     def q_lsh_ann_topk(spark, sf_dir):  # hyperplane-LSH ANN (recall<1 by design)
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))

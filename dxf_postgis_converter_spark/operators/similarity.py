@@ -94,3 +94,84 @@ def lsh_topk(
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
         .select(q_id_col, id_col, "cosine", "rank")
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, centroid_id): nearest coarse centroid per vector — one
+    Arrow-batched numpy matmul per batch (B×d @ d×C), no per-row Python."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c ** 2).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (m ** 2).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "centroid_id": d2.argmin(axis=1).astype("int32")})
+
+    schema = T.StructType([emb.schema[id_col],
+                           T.StructField("centroid_id", T.IntegerType())])
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def sample_centroids(emb: DataFrame, n_centroids: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse codebook: the n vectors with the smallest
+    xxhash64(id) (a seeded sample; at scale replace with a proper k-means
+    fit over a sample — the IVF plumbing is identical)."""
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_centroids).collect())
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "query_id", q_vec_col: str = "query_vec",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: vectors bucketed by nearest coarse centroid; each query
+    searches its n_probe nearest buckets, exact cosine rerank inside.
+
+    Scale shape: assignment is a narrow map; the candidate join is an
+    equi-join on centroid_id with the (tiny) exploded query side
+    broadcast — the 10^12-row side shuffles only by its bucket column.
+    Recall < 1 by construction (cluster-boundary misses), measured in
+    tests; raise n_probe for recall, n_centroids for selectivity."""
+    spark = emb.sparkSession
+    if centroids is None:
+        centroids = sample_centroids(emb, n_centroids, id_col, vec_col)
+    c = np.asarray(centroids, dtype=np.float64)
+
+    assigned = ivf_assignments(emb, c, id_col, vec_col)
+    e = emb.join(assigned, id_col).select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_en"), "centroid_id")
+
+    # query → its n_probe nearest centroids (queries are small: driver numpy)
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d2 = ((c - qv) ** 2).sum(axis=1)
+        for cid in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r[0], list(map(float, r[1])), int(cid)))
+    qdf = spark.createDataFrame(
+        probe_rows, f"{q_id_col} long, {q_vec_col} array<double>, centroid_id int")
+    qdf = F.broadcast(qdf.withColumn("_qn", _norm(F.col(q_vec_col))))
+
+    cand = e.join(qdf, "centroid_id").dropDuplicates([q_id_col, id_col])
+    cand = cand.withColumn(
+        "cosine", F.round(_dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_en") * F.col("_qn")), 6))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+        .select(q_id_col, id_col, "cosine", "rank")

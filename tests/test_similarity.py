@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import pyspark.sql.functions as F
 
 from dxf_postgis_converter_spark.operators.similarity import brute_force_topk, lsh_topk
 
@@ -70,3 +71,43 @@ def test_lsh_topk_recall_clustered(spark):
         exp_ids = {v for v, _ in exp_rows}
         recalls.append(len(by_q.get(qid, set()) & exp_ids) / len(exp_ids))
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """Clustered vectors: IVF with n_probe=3 recovers ≥90% of the exact
+    top-5 neighbours."""
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        vecs.append((i, (c + rng.standard_normal(16) * 0.4).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    base = emb.filter("vec_id >= 10")
+
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(base, qs, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_topk(base, qs, k=5, n_centroids=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+
+
+def test_ivf_assignment_partitions_all_rows(spark):
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.similarity import (
+        ivf_assignments, sample_centroids,
+    )
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    cents = sample_centroids(emb, 4)
+    assert cents.shape == (4, 8)
+    a = ivf_assignments(emb, cents)
+    assert a.count() == 100
+    assert a.filter((F.col("centroid_id") < 0) | (F.col("centroid_id") >= 4)).count() == 0
