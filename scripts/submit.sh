@@ -23,6 +23,7 @@ with zipfile.ZipFile('$ZIP', 'w') as z:
 
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${DRIVER_MEMORY:-16g}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-32}" \

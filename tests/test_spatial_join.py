@@ -37,7 +37,7 @@ def brute_pip(points, zone_rings):
     return pairs
 
 
-@pytest.mark.parametrize("res,n_salt,broadcast", [(6, 1, True), (8, 1, False), (6, 4, True)])
+@pytest.mark.parametrize("res,n_salt,broadcast", [(6, 1, True), (8, 1, False), (6, 4, True), (7, 4, False)])
 def test_pip_join_vs_bruteforce(points_df, zones_df, zone_rings, res, n_salt, broadcast):
     got = {(r.doc_id, r.handle, r.zone_id) for r in point_in_polygon_join(
         points_df, zones_df, res=res, n_salt=n_salt, broadcast_zones=broadcast,
