@@ -454,6 +454,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_mismatches(docs, rebuilt)  # empty ⟺ round-trip exact
     q["q_roundtrip_mismatches"] = q_roundtrip_mismatches
 
+    _BLOCK_EDGES = [
+        ("DOOR", "FRAME_A"), ("FRAME_A", "BOLT_M12"), ("FRAME_A", "FRAME_B"),
+        ("FRAME_B", "FRAME_A"), ("WINDOW", "FRAME_B"), ("TREE", "NORTH_ARROW"),
+    ]
+
+    def q_block_closure(spark, sf_dir):  # J9 transitive closure w/ cycle guard
+        from dxf_postgis_converter_spark.operators.blocks import reachable_blocks
+        ents = _media(spark, sf_dir)
+        edges = spark.createDataFrame(_BLOCK_EDGES, "parent string, child string")
+        return reachable_blocks(ents, edges)
+    q["q_block_closure"] = q_block_closure
+
+    def q_area_rect_outside(spark, sf_dir):  # P1 rect × OUTSIDE rule
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        return select_handles(pts, "rectangle", "outside", (1000.0, 3000.0, 1000.0, 3000.0))
+    q["q_area_rect_outside"] = q_area_rect_outside
+
     def q_raster_align(spark, sf_dir):  # J12: raster tile set ⋈ entity tile cover
         from dxf_postgis_converter_spark.index.grid import cell_encode
         from dxf_postgis_converter_spark.operators.tiles import raster_vector_align
@@ -847,6 +864,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1
+    """
+
+    # recursive closure over the same literal edge set; UNION dedups, so
+    # the FRAME_A <-> FRAME_B cycle terminates (≙ the visited-set guard)
+    o["q_block_closure"] = f"""
+        WITH RECURSIVE edges(parent, child) AS (
+          VALUES ('DOOR','FRAME_A'), ('FRAME_A','BOLT_M12'), ('FRAME_A','FRAME_B'),
+                 ('FRAME_B','FRAME_A'), ('WINDOW','FRAME_B'), ('TREE','NORTH_ARROW')),
+        roots AS (
+          SELECT DISTINCT doc_id,
+                 json_extract_string(NULLIF(media_ref, ''), '$.extra_data.block_name') AS block
+          FROM ({_SQL_MEDIA})
+          WHERE entity_type = 'INSERT'
+            AND json_extract_string(NULLIF(media_ref, ''), '$.extra_data.block_name') IS NOT NULL),
+        closure(doc_id, block) AS (
+          SELECT doc_id, block FROM roots
+          UNION
+          SELECT c.doc_id, e.child FROM closure c JOIN edges e ON c.block = e.parent)
+        SELECT doc_id, block FROM closure
+    """
+
+    o["q_area_rect_outside"] = f"""
+        SELECT DISTINCT lower(trim(handle)) AS handle FROM ({_SQL_POINTS})
+        WHERE NOT (x BETWEEN 1000.0 AND 3000.0 AND y BETWEEN 1000.0 AND 3000.0)
+          AND handle IS NOT NULL AND trim(handle) <> ''
     """
 
     o["q_raster_align"] = f"""
