@@ -83,6 +83,13 @@ def main() -> None:
         point_in_polygon_join(pts, zones, res=6)
         .groupBy("zone_id").agg(F.count("*").alias("n"))))
 
+    # stage 2b — same join through the skew path (salted, shuffled): the
+    # plan used when the polygon side is too large to broadcast and hot
+    # cells need spreading
+    timed("pip_join_salted", lambda: _force(
+        point_in_polygon_join(pts, zones, res=6, broadcast_zones=False, n_salt=8)
+        .groupBy("zone_id").agg(F.count("*").alias("n"))))
+
     # stage 3 — tile assignment + pyramid rollup z=8→4
     timed("tile_pyramid", lambda: _force(
         tile_pyramid_counts(ents.filter(F.col("xmin").isNotNull()), z_max=8, z_min=4)))
@@ -97,6 +104,13 @@ def main() -> None:
     probes = pts.limit(2000).select(F.col("handle").alias("probe_id"), "x", "y")
     timed("knn_join", lambda: _force(
         knn_join(probes, all_pts, k=5, res=7)))
+
+    # stage 6 — round-trip reconstruction sink (entities → span arrays)
+    from dxf_postgis_converter_spark.functions.decode import text_spans
+    from dxf_postgis_converter_spark.operators.reconstruct import reconstruct_documents
+    ents_ref = decode_documents(docs)  # reconstruction needs data_json (full decode)
+    timed("reconstruct", lambda: _force(
+        reconstruct_documents(ents_ref, text_spans(docs))))
 
     # training-data headliners on the driver testdata tables
     tdocs = load_table(spark, SF_DIR, "documents")
