@@ -549,6 +549,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     q["q_fingerprints"] = q_fingerprints
 
+    def q_word_tokens(spark, sf_dir):  # BPE-ish tokenization (letters/digits runs + symbols)
+        from dxf_postgis_converter_spark.functions.text import word_token_count
+        d = load_table(spark, sf_dir, "documents")
+        return d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(word_token_count(F.col("text"))).alias("total_units"))
+    q["q_word_tokens"] = q_word_tokens
+
+    def q_rolling_fingerprints(spark, sf_dir):  # rolling-hash winnowing (MOSS)
+        from dxf_postgis_converter_spark.functions.text import shared_fingerprint_pairs
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+        return shared_fingerprint_pairs(d.unionByName(dups),
+                                        min_shared=5, min_containment=0.8)
+    q["q_rolling_fingerprints"] = q_rolling_fingerprints
+
     def q_exact_dup_groups(spark, sf_dir):
         d = load_table(spark, sf_dir, "documents")
         return exact_duplicates(d).select("fp", "n_dups", "keep_id")
@@ -980,6 +998,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_fingerprints"] = f"SELECT doc_id, {_FP_SQL} AS fp FROM documents"
+
+    o["q_word_tokens"] = r"""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS total_units
+        FROM documents GROUP BY source
+    """
 
     o["q_exact_dup_groups"] = f"""
         SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id

@@ -102,3 +102,75 @@ def dxf_unicode_unescape(text: Column) -> Column:
         return s.str.replace(pat, lambda m: chr(int(m.group(1), 16)), regex=True)
 
     return _unescape(text)
+
+
+def winnowing_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 5, window: int = 4):
+    """Rolling-hash document fingerprints (task brief "document
+    fingerprinting (rolling hash)"): Rabin-Karp k-gram rolling hashes +
+    winnowing — keep the minimum hash of every `window` consecutive
+    hashes (Schleimer/Wilkerson/Aiken's MOSS scheme). Output
+    (id, fingerprints array<bigint>) — a compact, position-robust
+    signature set; shared fingerprints locate near-identical passages.
+
+    numpy-vectorized per Arrow batch: the rolling hash is a sliding-window
+    polynomial evaluated for all positions at once, the winnow a
+    stride-tricks min."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = np.uint64(1099511628211)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fp_one(text: str) -> list[int]:
+        t = " ".join((text or "").lower().split())
+        raw = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+        if len(raw) < k:
+            raw = np.pad(raw, (0, k - len(raw)), constant_values=95)
+        win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+        weights = B ** np.arange(k, dtype=np.uint64)
+        hashes = (win * weights).sum(axis=1) & MASK
+        # mix (splitmix-style) so adjacent grams decorrelate
+        h = (hashes + np.uint64(0x9E3779B97F4A7C15)) & MASK
+        h = ((h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & MASK
+        h = h ^ (h >> np.uint64(31))
+        if len(h) < window:
+            sel = np.array([h.min()])
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            sel = np.unique(wins.min(axis=1))
+        return (sel & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist()
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "fingerprints": [fp_one(t) for t in pdf[text_col]]})
+
+    schema = T.StructType([docs.schema[id_col],
+                           T.StructField("fingerprints", T.ArrayType(T.LongType()))])
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def shared_fingerprint_pairs(docs, id_col: str = "doc_id", text_col: str = "text",
+                             min_shared: int = 3, min_containment: float = 0.0,
+                             k: int = 5, window: int = 4):
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    explode → self-equi-join on fingerprint → count shared per pair,
+    plus the containment ratio shared / min(|fp_a|, |fp_b|) (common
+    k-grams alone connect everything in templated corpora — containment
+    is the winnowing-scheme similarity measure)."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, window) \
+        .withColumn("n_fp", F.size("fingerprints"))
+    e = fps.select(F.col(id_col), "n_fp", F.explode("fingerprints").alias("fp"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"), "fp")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"), "fp")
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"),
+             F.round(F.count("*") / F.least(F.first("n_a"), F.first("n_b")), 6)
+             .alias("containment"))
+        .filter((F.col("n_shared") >= min_shared)
+                & (F.col("containment") >= min_containment))
+    )

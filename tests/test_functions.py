@@ -89,3 +89,27 @@ def test_dxf_unicode_unescape(spark):
         [("\\U+0424 dom \\U+2116 5",), ("plain",), ("bad \\U+ZZZZ",), ("",)], "t string")
     got = [r.u for r in df.select(dxf_unicode_unescape(F.col("t")).alias("u")).collect()]
     assert got == ["Ф dom № 5", "plain", "bad \\U+ZZZZ", ""]
+
+
+def test_winnowing_fingerprints(spark):
+    from dxf_postgis_converter_spark.functions.text import (
+        shared_fingerprint_pairs, winnowing_fingerprints,
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark partitions and shuffles"),
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprints for r in winnowing_fingerprints(d).collect()}
+    assert all(len(v) > 0 for v in fps.values())           # total function
+    assert fps[1] != fps[3]
+    # determinism
+    fps2 = {r.doc_id: r.fingerprints for r in winnowing_fingerprints(d).collect()}
+    assert fps == fps2
+    # near-dup pair shares far more fingerprints than unrelated pair
+    shared = {(r.id_a, r.id_b): r.n_shared
+              for r in shared_fingerprint_pairs(d, min_shared=1).collect()}
+    assert shared.get((1, 2), 0) > shared.get((1, 3), 0)
+    assert shared[(1, 2)] >= 3
