@@ -61,8 +61,28 @@ def knn_join(
     results = None
     r = 1
     grid_n = 1 << res
+    # beyond this ring radius the (2r+1)^2 cell explosion costs more than
+    # just scanning all targets for the (by then few) unresolved probes —
+    # the fallback is exact and bounds the worst case on sparse targets
+    max_ring = 32
     for _ in range(max_rounds):
         if unresolved.isEmpty():
+            break
+        if r > max_ring and r < grid_n:
+            w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
+            rest = (
+                unresolved.crossJoin(t.drop("cell"))
+                .withColumn("dist", F.sqrt((F.col("p_x") - F.col("t_x")) ** 2
+                                           + (F.col("p_y") - F.col("t_y")) ** 2))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(probe_id_col, target_id_col, "dist", "rank")
+            )
+            # keep the sub-k-targets contract: such probes stay absent
+            full = rest.groupBy(probe_id_col).count().filter(F.col("count") == k) \
+                .select(probe_id_col)
+            rest = rest.join(full, probe_id_col, "left_semi")
+            results = rest if results is None else results.unionByName(rest)
             break
         cand = (
             unresolved
