@@ -369,6 +369,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return overwrite_layers(e, source)
     q["q_merge_overwrite_layers"] = q_merge_overwrite_layers
 
+    def q_merge_overwrite_objects(spark, sf_dir):  # J6 upsert on (name, entity_type)
+        from dxf_postgis_converter_spark.operators.merge_modes import overwrite_objects
+        e = _media(spark, sf_dir).select("doc_id", "layer", "name", "entity_type", "span_offset")
+        target = e.filter(F.col("span_offset") % 2 == 0)
+        source = e.filter(F.col("span_offset") % 3 == 0)
+        return overwrite_objects(target, source)
+    q["q_merge_overwrite_objects"] = q_merge_overwrite_objects
+
     def q_selection_subtract(spark, sf_dir):  # SO3 selection subtract
         pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
         prior = select_handles(pts, "rectangle", "intersect", (1000.0, 3000.0, 1000.0, 3000.0))
@@ -837,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
             AND s.doc_id = k.doc_id AND s.layer = k.layer)
         UNION ALL
         SELECT * FROM e WHERE span_offset < 10
+    """
+
+    o["q_merge_overwrite_objects"] = f"""
+        WITH e AS ({_sql_ents})
+        SELECT * FROM e k WHERE k.span_offset % 2 = 0 AND NOT EXISTS (
+          SELECT 1 FROM e s WHERE s.span_offset % 3 = 0 AND s.doc_id = k.doc_id
+            AND s.layer = k.layer AND s.name = k.name AND s.entity_type = k.entity_type)
+        UNION ALL
+        SELECT * FROM e WHERE span_offset % 3 = 0
     """
 
     o["q_selection_subtract"] = f"""
