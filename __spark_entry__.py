@@ -88,8 +88,17 @@ def _dec_sum(col, alias, scale=2):
     return F.round(F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale).alias(alias)
 
 
+_MEDIA_CACHE: dict[str, DataFrame] = {}
+
+
 def _media(spark, sf_dir):
-    return decode_documents(corpus_documents(spark, sf_dir))
+    """Decoded entities for a corpus sf — persisted once per session so
+    the ~15 corpus-backed queries don't re-run the decode stage each."""
+    df = _MEDIA_CACHE.get(sf_dir)
+    if df is None:
+        df = decode_documents(corpus_documents(spark, sf_dir)).persist()
+        _MEDIA_CACHE[sf_dir] = df
+    return df
 
 
 _SQL_MEDIA = (
@@ -340,7 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probes = pts.filter(F.col("handle").endswith("7a")).select(
             F.col("handle").alias("probe_id"), "x", "y")
         targets = pts.select(F.col("handle").alias("target_id"), "x", "y")
-        out = knn_join(probes, targets, k=5, res=8)
+        out = knn_join(probes, targets, k=5, res=7)
         return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
     q["q_knn_points"] = q_knn_points
 
