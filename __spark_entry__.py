@@ -403,6 +403,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "geom_type")
     q["q_hatch_signatures"] = q_hatch_signatures
 
+    def q_lwpolyline_signature(spark, sf_dir):  # xyseb tuples @6dp (test_integration.py:521-675)
+        lw = _media(spark, sf_dir).filter(F.col("entity_type") == "LWPOLYLINE")
+        pts = F.from_json(F.get_json_object("data_json", "$.extra_data.points"),
+                          "array<array<double>>")
+        return lw.select(
+            "handle",
+            F.size(pts).alias("n_points"),
+            F.round(F.aggregate(pts, F.lit(0.0), lambda a, p: a + p[0]), 6).alias("sx"),
+            F.round(F.aggregate(pts, F.lit(0.0), lambda a, p: a + p[1]), 6).alias("sy"),
+            # decode's LWPOLYLINE quirk: stored z IS start_width (xyseb[2])
+            F.round(F.aggregate(pts, F.lit(0.0), lambda a, p: a + p[2]), 6).alias("s_startw"),
+            F.get_json_object("data_json", "$.extra_data.is_closed").alias("is_closed"))
+    q["q_lwpolyline_signature"] = q_lwpolyline_signature
+
+    def q_insert_attrib_dist(spark, sf_dir):  # attached-ATTRIB tag distribution (:677-752)
+        ins = _media(spark, sf_dir).filter(F.col("entity_type") == "INSERT")
+        attribs = F.from_json(
+            F.get_json_object("data_json", "$.geometries.insert_attribs"),
+            "array<struct<tag:string,text:string>>")
+        return (ins.select(F.explode(attribs).alias("a"))
+                .groupBy(F.col("a.tag").alias("tag"))
+                .agg(F.count("*").alias("n")))
+    q["q_insert_attrib_dist"] = q_insert_attrib_dist
+
+    def q_multileader_signature(spark, sf_dir):  # MULTILEADER visual signature (:802-913)
+        ml = _media(spark, sf_dir).filter(F.col("entity_type") == "MULTILEADER")
+        lines = F.from_json(F.get_json_object("data_json", "$.extra_data.leader_lines"),
+                            "array<array<array<double>>>")
+        return ml.select(
+            "handle",
+            F.size(lines).alias("n_leader_lines"),
+            F.aggregate(lines, F.lit(0), lambda a, l: a + F.size(l)).alias("total_vertices"),
+            F.round(F.get_json_object("data_json", "$.extra_data.char_height")
+                    .cast("double"), 6).alias("char_height"),
+            F.round(F.col("xmin"), 6).alias("bx"),
+            F.round(F.col("ymin"), 6).alias("by"))
+    q["q_multileader_signature"] = q_multileader_signature
+
     def q_text_color_dist(spark, sf_dir):  # TEXT/MTEXT ACI color distributions (A7)
         t = _media(spark, sf_dir).filter(F.col("entity_type").isin("TEXT", "MTEXT"))
         return t.groupBy(
@@ -883,6 +921,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN json_array_length(media_ref, '$.geometries.boundaries') = 1
                     THEN 'POLYGON' ELSE 'MULTIPOLYGON' END AS geom_type
         FROM ({_SQL_MEDIA}) WHERE entity_type = 'HATCH'
+    """
+
+    o["q_lwpolyline_signature"] = f"""
+        SELECT handle, len(pts) AS n_points,
+               ROUND(list_sum(list_transform(pts, p -> p[1])), 6) AS sx,
+               ROUND(list_sum(list_transform(pts, p -> p[2])), 6) AS sy,
+               ROUND(list_sum(list_transform(pts, p -> p[3])), 6) AS s_startw,
+               json_extract_string(media_ref, '$.geometries.is_closed') AS is_closed
+        FROM (
+          SELECT handle, media_ref,
+                 CAST(json_extract(media_ref, '$.geometries.points') AS DOUBLE[][]) AS pts
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'LWPOLYLINE')
+    """
+
+    o["q_insert_attrib_dist"] = f"""
+        SELECT json_extract_string(a, '$.tag') AS tag, COUNT(*) AS n
+        FROM (
+          SELECT unnest(CAST(json_extract(media_ref, '$.geometries.insert_attribs')
+                        AS JSON[])) AS a
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'INSERT')
+        GROUP BY 1
+    """
+
+    o["q_multileader_signature"] = f"""
+        SELECT handle,
+               json_array_length(media_ref, '$.geometries.leader_lines') AS n_leader_lines,
+               list_sum(list_transform(
+                 CAST(json_extract(media_ref, '$.geometries.leader_lines') AS JSON[]),
+                 l -> json_array_length(l))) AS total_vertices,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.char_height') AS DOUBLE), 6)
+                 AS char_height,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.base_point[0]') AS DOUBLE), 6) AS bx,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.base_point[1]') AS DOUBLE), 6) AS by
+        FROM ({_SQL_MEDIA}) WHERE entity_type = 'MULTILEADER'
     """
 
     o["q_text_color_dist"] = f"""
