@@ -398,6 +398,12 @@ def convert_entity(payload: dict):
             extra.update(updates)
         except _Fail as e:
             error = str(e)
+        except Exception as e:  # malformed payload values (the reference's
+            # to_db wraps converter exceptions in its Result error channel,
+            # postgis_entity_converter.py:72-110 — one bad span must never
+            # kill a 10^12-row job)
+            kind = coords = None
+            error = f"{etype}: {type(e).__name__}: {e}"
     wkb, gtype, bbox = _encode(kind, coords)
     data = {
         "entity_type": etype,

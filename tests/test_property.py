@@ -154,3 +154,38 @@ def _signed_min_edge_dist(px, py, ring):
     t = np.clip((ap * ab).sum(1) / np.maximum((ab * ab).sum(1), 1e-300), 0, 1)
     proj = a + t[:, None] * ab
     return np.min(np.hypot(proj[:, 0] - px, proj[:, 1] - py))
+
+
+# --- decode totality: convert_entity never raises on hostile payloads -------
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=64), st.text(max_size=8))
+_json_vals = st.recursive(
+    _json_scalars,
+    lambda c: st.one_of(st.lists(c, max_size=4),
+                        st.dictionaries(st.text(max_size=6), c, max_size=4)),
+    max_leaves=12)
+
+_ETYPES = ["POINT", "LINE", "LWPOLYLINE", "CIRCLE", "ARC", "ELLIPSE", "SPLINE",
+           "TEXT", "INSERT", "HATCH", "MULTILEADER", "3DFACE", "HELIX", "RAY",
+           "MESH", "DIMENSION", "GARBAGE_TYPE", ""]
+
+
+@settings(max_examples=150)
+@given(st.sampled_from(_ETYPES),
+       st.dictionaries(st.sampled_from([
+           "location", "start", "end", "points", "center", "radius",
+           "start_angle", "end_angle", "major_axis", "ratio", "insert",
+           "vertices", "boundaries", "base_point", "leader_lines",
+           "vtx0", "vtx1", "vtx2", "vtx3", "unit_vector", "turns", "height"]),
+           _json_vals, max_size=6))
+def test_convert_entity_total(etype, geoms):
+    """Arbitrary payload shapes → a record with either geometry or an
+    error string; never an exception (the UDF must not kill a 10^12-row
+    job over one malformed span)."""
+    from dxf_postgis_converter_spark.functions.decode import convert_entity
+    rec = convert_entity({"entity_type": etype, "geometries": geoms,
+                          "attributes": {}, "extra_data": {}})
+    assert set(rec) >= {"geometry_wkb", "geom_type", "error", "data_json"}
+    assert (rec["geometry_wkb"] is None) == (rec["geom_type"] is None)
