@@ -1007,6 +1007,13 @@ def oracle_sql() -> dict[str, str]:
           AND handle IS NOT NULL AND trim(handle) <> ''
     """
 
+    # the round-trip invariant: the mismatch set must be EMPTY — the
+    # oracle is the empty relation, so any span-sequence drift fails the
+    # driver's value-level compare
+    o["q_roundtrip_mismatches"] = """
+        SELECT CAST(NULL AS VARCHAR) AS doc_id WHERE 1 = 0
+    """
+
     o["q_raster_align"] = f"""
         SELECT handle,
                6 * 288230376151711744
