@@ -1007,6 +1007,45 @@ def oracle_sql() -> dict[str, str]:
           AND handle IS NOT NULL AND trim(handle) <> ''
     """
 
+    # adaptive splitting has a closed form under strict quadtree nesting:
+    # a row's final cell is at the smallest res in [6,12] whose cell
+    # population is ≤ cap (all rows of a cell share their whole ancestor
+    # chain, so per-round hot counts equal global per-res counts)
+    _tid_r = ("CAST(res AS BIGINT) * 288230376151711744 "
+              "+ CAST(FLOOR(x / (8192.0 / POWER(2.0, res))) AS BIGINT) * 536870912 "
+              "+ CAST(FLOOR(y / (8192.0 / POWER(2.0, res))) AS BIGINT)")
+    o["q_adaptive_cell_stats"] = f"""
+        WITH p AS (
+          SELECT handle,
+                 CAST(COALESCE(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.insert[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.center[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.base_point[0]')) AS DOUBLE) AS x,
+                 CAST(COALESCE(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.insert[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.center[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.base_point[1]')) AS DOUBLE) AS y
+          FROM ({_SQL_MEDIA})
+          WHERE entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT','SHAPE',
+                                'VIEWPORT','IMAGE','MULTILEADER')),
+        cells AS (
+          SELECT handle, res, {_tid_r} AS cell
+          FROM p, (SELECT unnest([6,7,8,9,10,11,12]) AS res)),
+        cnt AS (SELECT res, cell, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+        flags AS (SELECT c.handle, c.res, c.cell, k.n
+                  FROM cells c JOIN cnt k USING (res, cell)),
+        chosen AS (
+          SELECT handle, COALESCE(MIN(res) FILTER (WHERE n <= 2000), 12) AS r
+          FROM flags GROUP BY handle),
+        final AS (
+          SELECT f.res, f.cell FROM flags f
+          JOIN chosen ch ON f.handle = ch.handle AND f.res = ch.r)
+        SELECT res, COUNT(*) AS n_cells, MAX(n) AS max_cell_rows,
+               ROUND(AVG(n), 2) AS avg_cell_rows, SUM(n) AS rows
+        FROM (SELECT res, cell, COUNT(*) AS n FROM final GROUP BY 1, 2)
+        GROUP BY res
+    """
+
     # the round-trip invariant: the mismatch set must be EMPTY — the
     # oracle is the empty relation, so any span-sequence drift fails the
     # driver's value-level compare
