@@ -654,6 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    # the corpus-backed oracles read DOCS_PQ/ZONES_PQ from disk; make sure
+    # the (gitignored, deterministic) corpus exists even if no Spark query
+    # ran first — generation is pure Python + pyarrow, a few seconds
+    from dxf_postgis_converter_spark.corpus import ensure_corpus_local
+
+    ensure_corpus_local(0.01)
+
     o: dict[str, str] = {}
 
     o["q_pricing_summary"] = """

@@ -388,6 +388,48 @@ def ensure_corpus(spark: SparkSession, sf: float) -> str:
     return d
 
 
+def ensure_corpus_local(sf: float) -> str:
+    """Spark-free corpus generation (pyarrow writer) — same pure
+    build_document/build_zones rows, so content is identical to the Spark
+    path. Used by oracle_sql(), which may run before any SparkSession
+    exists (the DuckDB side reads these parquet files directly)."""
+    d = corpus_dir(sf)
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = docs_for_sf(sf)
+    rows = [build_document(i) for i in range(n)]
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs_t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "spans": pa.array([r[1] for r in rows], pa.list_(span_t)),
+    })
+    os.makedirs(os.path.join(d, "documents"), exist_ok=True)
+    pq.write_table(docs_t, os.path.join(d, "documents", "part-00000.parquet"))
+
+    z = build_zones()
+    zones_t = pa.table({
+        "zone_id": pa.array(z["zone_id"], pa.string()),
+        "kind": pa.array(z["kind"], pa.string()),
+        "name": pa.array(z["name"], pa.string()),
+        "xmin": pa.array(z["xmin"], pa.float64()),
+        "ymin": pa.array(z["ymin"], pa.float64()),
+        "xmax": pa.array(z["xmax"], pa.float64()),
+        "ymax": pa.array(z["ymax"], pa.float64()),
+        "geometry_wkb": pa.array(z["geometry_wkb"], pa.binary()),
+        "params_json": pa.array(z["params_json"], pa.string()),
+    })
+    os.makedirs(os.path.join(d, "zones"), exist_ok=True)
+    pq.write_table(zones_t, os.path.join(d, "zones", "part-00000.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"n_docs={n}\nseed={SEED}\nwriter=pyarrow\n")
+    return d
+
+
 def load_documents(spark: SparkSession, sf: float) -> DataFrame:
     return spark.read.parquet(os.path.join(ensure_corpus(spark, sf), "documents"))
 
