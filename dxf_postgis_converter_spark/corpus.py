@@ -374,17 +374,30 @@ def corpus_dir(sf: float) -> str:
     return os.path.join(REPO_DATA, f"sf{sf:g}")
 
 
+def _promote(tmp: str, d: str) -> None:
+    """Atomically publish a fully-built corpus dir (lost races discard
+    their build — content is deterministic, so either copy is correct)."""
+    import shutil
+
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ensure_corpus(spark: SparkSession, sf: float) -> str:
     """Generate (once) and return the corpus dir holding documents/ + zones/."""
     d = corpus_dir(sf)
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
+        tmp = f"{d}.tmp-{os.getpid()}"
         n = docs_for_sf(sf)
-        generate_documents(spark, n).write.mode("overwrite").parquet(os.path.join(d, "documents"))
+        generate_documents(spark, n).write.mode("overwrite").parquet(os.path.join(tmp, "documents"))
         spark.createDataFrame(build_zones(), schema=ZONES_SCHEMA) \
-            .coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "zones"))
-        with open(marker, "w") as f:
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "zones"))
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(f"n_docs={n}\nseed={SEED}\n")
+        _promote(tmp, d)
     return d
 
 
@@ -400,6 +413,7 @@ def ensure_corpus_local(sf: float) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    tmp = f"{d}.tmp-{os.getpid()}"
     n = docs_for_sf(sf)
     rows = [build_document(i) for i in range(n)]
     span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
@@ -408,8 +422,8 @@ def ensure_corpus_local(sf: float) -> str:
         "doc_id": pa.array([r[0] for r in rows], pa.string()),
         "spans": pa.array([r[1] for r in rows], pa.list_(span_t)),
     })
-    os.makedirs(os.path.join(d, "documents"), exist_ok=True)
-    pq.write_table(docs_t, os.path.join(d, "documents", "part-00000.parquet"))
+    os.makedirs(os.path.join(tmp, "documents"), exist_ok=True)
+    pq.write_table(docs_t, os.path.join(tmp, "documents", "part-00000.parquet"))
 
     z = build_zones()
     zones_t = pa.table({
@@ -423,10 +437,11 @@ def ensure_corpus_local(sf: float) -> str:
         "geometry_wkb": pa.array(z["geometry_wkb"], pa.binary()),
         "params_json": pa.array(z["params_json"], pa.string()),
     })
-    os.makedirs(os.path.join(d, "zones"), exist_ok=True)
-    pq.write_table(zones_t, os.path.join(d, "zones", "part-00000.parquet"))
-    with open(marker, "w") as f:
+    os.makedirs(os.path.join(tmp, "zones"), exist_ok=True)
+    pq.write_table(zones_t, os.path.join(tmp, "zones", "part-00000.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write(f"n_docs={n}\nseed={SEED}\nwriter=pyarrow\n")
+    _promote(tmp, d)
     return d
 
 
