@@ -487,26 +487,76 @@ def _decode_batches(batches, emit_media_ref: bool = True):
         yield pd.DataFrame(data, columns=cols)
 
 
-def decode_documents(documents: DataFrame, keep_media_ref: bool = True) -> DataFrame:
+def _decode_arrow_batches(batches, emit_media_ref: bool = True):
+    """mapInArrow twin of _decode_batches: same per-payload conversion,
+    but rows enter/leave as pyarrow RecordBatches — no pandas block
+    construction on either side of the boundary."""
+    import pyarrow as pa
+
+    schema = ENTITY_SCHEMA if emit_media_ref else ENTITY_SCHEMA_NOREF
+    pa_schema = pa.schema(
+        [pa.field("doc_id", pa.string()), pa.field("span_offset", pa.int32()),
+         pa.field("handle", pa.string()), pa.field("layer", pa.string()),
+         pa.field("entity_type", pa.string()), pa.field("name", pa.string()),
+         pa.field("geometry_wkb", pa.binary()), pa.field("geom_type", pa.string()),
+         pa.field("xmin", pa.float64()), pa.field("ymin", pa.float64()),
+         pa.field("xmax", pa.float64()), pa.field("ymax", pa.float64()),
+         pa.field("data_json", pa.string())]
+        + ([pa.field("media_ref", pa.string())] if emit_media_ref else [])
+        + [pa.field("error", pa.string())])
+    loads = json.loads
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        doc_ids = batch.column(0).to_pylist()
+        refs = batch.column(1).to_pylist()
+        offsets = batch.column(2).to_pylist()
+        recs = []
+        append = recs.append
+        for i in range(n):
+            try:
+                payload = loads(refs[i])
+            except (TypeError, ValueError):
+                payload = {"entity_type": "UNKNOWN"}
+            r = convert_entity(payload)
+            append(tuple(r[c] for c in _REC_COLS))
+        cols = dict(zip(_REC_COLS, zip(*recs)))
+        arrays = [pa.array(doc_ids, pa.string()),
+                  pa.array(offsets, pa.int32())]
+        for f in list(pa_schema)[2:]:
+            if f.name == "media_ref":
+                arrays.append(pa.array(refs, pa.string()))
+            else:
+                arrays.append(pa.array(cols[f.name], f.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+
+def decode_documents(documents: DataFrame, keep_media_ref: bool = True,
+                     use_arrow: bool = True) -> DataFrame:
     """documents(doc_id, spans) -> entities DataFrame (see module doc).
 
     The explode + filter stay JVM-side (whole-stage codegen); only the
-    media spans cross into Python, in Arrow batches.
+    media spans cross into Python, in Arrow batches (mapInArrow by
+    default — the pandas twin is kept for A/B equality testing).
     """
     spans = documents.select(
         "doc_id",
         F.explode("spans").alias("span"),
     ).select(
         "doc_id",
-        F.col("span.kind").alias("kind"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
     ).filter(F.col("kind") == "media").drop("kind")
-    if keep_media_ref:
-        return spans.mapInPandas(_decode_batches, schema=ENTITY_SCHEMA)
+    schema = ENTITY_SCHEMA if keep_media_ref else ENTITY_SCHEMA_NOREF
+    if use_arrow:
+        return spans.mapInArrow(
+            lambda it: _decode_arrow_batches(it, emit_media_ref=keep_media_ref),
+            schema=schema)
     return spans.mapInPandas(
-        lambda it: _decode_batches(it, emit_media_ref=False),
-        schema=ENTITY_SCHEMA_NOREF)
+        lambda it: _decode_batches(it, emit_media_ref=keep_media_ref),
+        schema=schema)
 
 
 def text_spans(documents: DataFrame) -> DataFrame:

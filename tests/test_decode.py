@@ -196,3 +196,12 @@ def test_bbox_matches_geometry(media_payloads):
 def test_corpus_decodes_cleanly(media_payloads):
     errs = [convert_entity(p)["error"] for p in media_payloads]
     assert all(e is None for e in errs)
+
+
+def test_arrow_and_pandas_paths_identical(spark, docs_df):
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    a = decode_documents(docs_df, use_arrow=True)
+    b = decode_documents(docs_df, use_arrow=False)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
