@@ -79,3 +79,20 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def write_stream_exactly_once(stream_df: DataFrame, out_dir: str,
+                              checkpoint_dir: str):
+    """Exactly-once parquet sink: each micro-batch lands in its own
+    ``_batch=<id>`` partition via dynamic overwrite, so a batch replayed
+    after a failure (foreachBatch's at-least-once contract) REPLACES its
+    partial partition instead of duplicating rows — the same healing rule
+    as plans/lineage.py. Returns the DataStreamWriter (caller starts it)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(out_dir))
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))

@@ -52,3 +52,34 @@ def test_incremental_trigger_matches_single_shot(spark, batch_events, tmp_path_f
     got = run_available_now(hourly_event_counts(stream), ck, "inc_agg")
     expected = hourly_event_counts(spark.read.parquet(src)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_exactly_once_sink(spark, batch_events, tmp_path_factory):
+    from dxf_postgis_converter_spark.streaming.events import write_stream_exactly_once
+    src = str(tmp_path_factory.mktemp("eo_src"))
+    out = str(tmp_path_factory.mktemp("eo_out"))
+    ck = str(tmp_path_factory.mktemp("eo_ck"))
+    batch_events.limit(500).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = write_stream_exactly_once(stream, out, ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 500
+
+    # restart with the same checkpoint: nothing new → no change
+    q = write_stream_exactly_once(read_event_stream(spark, src), out, ck) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 500
+
+    # simulate a replayed micro-batch (at-least-once delivery): rewriting
+    # batch 0 must replace, not duplicate
+    import pyspark.sql.functions as F
+    first_batch = spark.read.parquet(out).filter("_batch = 0").drop("_batch")
+    (first_batch.withColumn("_batch", F.lit(0))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch").parquet(out))
+    got = spark.read.parquet(out)
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
