@@ -572,6 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_frames"))
     q["q_frame_sample"] = q_frame_sample
 
+    def q_svg_previews(spark, sf_dir):  # S13 SVG preview sink (per-doc render)
+        from dxf_postgis_converter_spark.operators.svg import svg_previews
+        return svg_previews(_media(spark, sf_dir)).select(
+            "doc_id", "n_elements", F.length("svg").alias("svg_bytes"))
+    q["q_svg_previews"] = q_svg_previews
+
     def q_adaptive_cell_stats(spark, sf_dir):  # skew: hot-cell adaptive split report
         pts = _media(spark, sf_dir).filter(F.col("geom_type") == "POINT").select(
             F.col("xmin").alias("x"), F.col("ymin").alias("y"), "handle")

@@ -205,3 +205,21 @@ def test_text_kernels_total(text):
     # winnowing's inner fp (exercised through the public API in
     # test_functions; here just the pure rolling-hash core on any text)
     from dxf_postgis_converter_spark.functions.text import winnowing_fingerprints  # noqa: F401
+
+
+@settings(max_examples=100)
+@given(st.text(max_size=40))
+def test_sanitize_idempotent(name):
+    """Layer→table sanitization (F1-F3) is idempotent and always yields a
+    valid identifier tail."""
+    import re
+    from dxf_postgis_converter_spark.functions.naming import transliterate_py
+
+    def sanitize(s):  # pure mirror of naming.sanitize_identifier
+        s = transliterate_py(s).lower()
+        s = re.sub(r"[^a-z0-9_]+", "_", s)
+        return re.sub(r"_+", "_", s)
+
+    s1 = sanitize(name)
+    assert sanitize(s1) == s1
+    assert re.fullmatch(r"[a-z0-9_]*", s1)
