@@ -322,6 +322,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return point_in_polygon_join(pts, zones, res=6).select("doc_id", "handle", "zone_id")
     q["q_pip_rect_zones"] = q_pip_rect_zones
 
+    def q_selection_cascade(spark, sf_dir):  # P4: select layer → children selected
+        from dxf_postgis_converter_spark.operators.area_selection import cascade_selection_down
+        ents = _media(spark, sf_dir)
+        sel_layers = ents.filter(F.col("layer") == "Стены").select("doc_id", "layer").distinct()
+        marked = cascade_selection_down(ents, sel_layers)
+        return marked.groupBy("doc_id").agg(F.count("*").alias("n_selected"))
+    q["q_selection_cascade"] = q_selection_cascade
+
+    def q_payload_sizes(spark, sf_dir):  # A9 OCTET_LENGTH analogue on payloads
+        d = corpus_documents(spark, sf_dir)
+        s = d.select("doc_id", F.explode("spans").alias("s")) \
+            .filter(F.col("s.kind") == "media")
+        return s.groupBy("doc_id").agg(
+            F.sum(F.octet_length("s.media_ref")).alias("payload_bytes"),
+            F.count("*").alias("n_payloads"))
+    q["q_payload_sizes"] = q_payload_sizes
+
     def q_handle_norm(spark, sf_dir):  # F4
         m = _media(spark, sf_dir)
         return m.select("doc_id", normalize_handle(F.col("handle")).alias("handle_lc")).distinct()
@@ -829,6 +846,18 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT') p
         JOIN (SELECT zone_id, xmin, ymin, xmax, ymax FROM {ZONES_PQ} WHERE kind = 'rect') z
           ON p.x BETWEEN z.xmin AND z.xmax AND p.y BETWEEN z.ymin AND z.ymax
+    """
+
+    o["q_selection_cascade"] = f"""
+        SELECT doc_id, COUNT(*) AS n_selected
+        FROM ({_SQL_MEDIA}) WHERE layer = 'Стены' GROUP BY doc_id
+    """
+
+    o["q_payload_sizes"] = f"""
+        SELECT doc_id, SUM(strlen(s.media_ref)) AS payload_bytes,
+               COUNT(*) AS n_payloads
+        FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
+        WHERE s.kind = 'media' GROUP BY doc_id
     """
 
     o["q_handle_norm"] = f"""
