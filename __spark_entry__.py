@@ -315,6 +315,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("tx", "ty").agg(F.count("*").alias("n")))
     q["q_tile_counts_points"] = q_tile_counts_points
 
+    def q_tile_zxy(spark, sf_dir):  # tile id ↔ (z,tx,ty) decode (J12 export shape)
+        from dxf_postgis_converter_spark.operators.tiles import assign_tiles, tile_zxy
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        t = assign_tiles(pts, z=5, mode="center")
+        return tile_zxy(t.select("handle", "tile_id")).select("handle", "tile_id", "z", "tx", "ty")
+    q["q_tile_zxy"] = q_tile_zxy
+
     def q_pip_rect_zones(spark, sf_dir):  # J10 restricted to rect zones (SQL-provable)
         ents = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
         pts = ents.select("doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
@@ -835,6 +842,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y
           FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT')
         GROUP BY 1, 2
+    """
+
+    o["q_tile_zxy"] = f"""
+        SELECT handle,
+               5 * 288230376151711744 + tx * 536870912 + ty AS tile_id,
+               5 AS z, tx, ty
+        FROM (
+          SELECT handle,
+                 CAST(FLOOR(x / 256.0) AS BIGINT) AS tx,
+                 CAST(FLOOR(y / 256.0) AS BIGINT) AS ty
+          FROM ({_SQL_POINTS}))
     """
 
     o["q_pip_rect_zones"] = f"""
