@@ -223,3 +223,32 @@ def test_sanitize_idempotent(name):
     s1 = sanitize(name)
     assert sanitize(s1) == s1
     assert re.fullmatch(r"[a-z0-9_]*", s1)
+
+
+@st.composite
+def star_polygon(draw):
+    """Concave (star) simple polygon: alternating outer/inner radii."""
+    n = draw(st.integers(min_value=4, max_value=8)) * 2
+    cx = draw(st.floats(min_value=200, max_value=800))
+    cy = draw(st.floats(min_value=200, max_value=800))
+    r_out = draw(st.floats(min_value=60, max_value=120))
+    r_in = draw(st.floats(min_value=15, max_value=50))
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rad = np.where(np.arange(n) % 2 == 0, r_out, r_in)
+    ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+    return np.vstack([ring, ring[:1]])
+
+
+@settings(max_examples=50)
+@given(star_polygon(),
+       st.lists(st.tuples(st.floats(min_value=0, max_value=1000),
+                          st.floats(min_value=0, max_value=1000)),
+                min_size=1, max_size=30))
+def test_pip_matches_winding_on_concave(ring, pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    got = points_in_polygon(xs, ys, ring)
+    for i in range(len(pts)):
+        if _signed_min_edge_dist(xs[i], ys[i], ring) < 1e-6:
+            continue  # boundary: inclusive vs strict semantics differ
+        assert got[i] == _winding_contains(xs[i], ys[i], ring)
