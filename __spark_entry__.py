@@ -261,6 +261,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      _dec_sum("value", "total_value")))
     q["q_events_hourly"] = q_events_hourly
 
+    def q_events_hourly_stream(spark, sf_dir):  # Structured Streaming under the oracle
+        import tempfile
+
+        from dxf_postgis_converter_spark.streaming.events import (
+            hourly_event_counts, read_event_stream, run_available_now,
+        )
+        src = tempfile.mkdtemp(prefix="evt_stream_src_")
+        ck = tempfile.mkdtemp(prefix="evt_stream_ck_")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=2)
+        run_available_now(hourly_event_counts(stream), ck, "q_events_stream_sink")
+        return spark.table("q_events_stream_sink")
+    q["q_events_hourly_stream"] = q_events_hourly_stream
+
     def q_helmert(spark, sf_dir):  # F7 conformal transform as column expr
         p = load_table(spark, sf_dir, "part")
         a, b, tx, ty = 2.0, 0.5, 100.0, -50.0
@@ -778,6 +792,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    # identical oracle to q_events_hourly — the stream must converge to
+    # exactly the batch aggregation
+    o["q_events_hourly_stream"] = """
         SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
         FROM events GROUP BY 1, 2
