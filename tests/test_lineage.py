@@ -94,3 +94,18 @@ def test_new_snapshot_not_confused(spark, docs_df, dirs):
     assert m[("decode", "v1")].n_buckets == N_BUCKETS
     assert m[("decode", "v2")].n_buckets == N_BUCKETS
     assert m[("decode", "v1")].total_rows == m[("decode", "v2")].total_rows
+
+
+def test_failed_stage_records_nothing(spark, docs_df, dirs):
+    """A stage that dies mid-run must leave no COMPLETE lineage rows, so
+    the next run redoes all of it."""
+    out_dir, log = dirs
+    with pytest.raises(Exception):
+        run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                  transform=lambda df: df.select("no_such_column"),
+                  out_dir=out_dir, lineage=log, n_buckets=N_BUCKETS)
+    assert log.completed_buckets(spark, "decode", "v1") == []
+    s = run_stage(spark, stage="decode", snapshot_id="v1", source=docs_df,
+                  transform=_transform, out_dir=out_dir, lineage=log,
+                  n_buckets=N_BUCKETS)
+    assert s["complete"] and s["processed_buckets"] == N_BUCKETS
