@@ -441,6 +441,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "geom_type")
     q["q_hatch_signatures"] = q_hatch_signatures
 
+    def q_ray_xline_endpoints(spark, sf_dir):  # C3/C4 finite-proxy math @6dp
+        m = _media(spark, sf_dir).filter(F.col("entity_type").isin("RAY", "XLINE"))
+        return m.select(
+            "handle", "entity_type",
+            F.round("xmin", 6).alias("bx0"), F.round("ymin", 6).alias("by0"),
+            F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
+    q["q_ray_xline_endpoints"] = q_ray_xline_endpoints
+
+    def q_3dface_triangle_rule(spark, sf_dir):  # C15: drop 4th vtx when == 1st
+        f3 = _media(spark, sf_dir).filter(F.col("entity_type").isin("3DFACE", "SOLID", "TRACE"))
+        nverts = F.size(F.from_json(
+            F.get_json_object("data_json", "$.extra_data.vertices"), "array<array<double>>"))
+        return f3.select("handle", "entity_type", nverts.alias("n_vertices"))
+    q["q_3dface_triangle_rule"] = q_3dface_triangle_rule
+
+    def q_hatch_paths(spark, sf_dir):  # C17: hatch_paths preserved losslessly
+        h = _media(spark, sf_dir).filter(F.col("entity_type") == "HATCH")
+        paths = F.from_json(
+            F.get_json_object("data_json", "$.geometries.hatch_paths"),
+            "array<struct<path_type:string,vertices:array<array<double>>,"
+            "edges:array<struct<edge_type:string>>>>")
+        return h.select(
+            "handle",
+            F.size(F.filter(paths, lambda p: p.path_type == "polyline")).alias("n_poly_paths"),
+            F.size(F.filter(paths, lambda p: p.path_type == "edge")).alias("n_edge_paths"),
+            F.aggregate(paths, F.lit(0),
+                        lambda a, p: a + F.coalesce(F.size(p.vertices), F.lit(0))).alias("total_vertices"),
+            F.aggregate(paths, F.lit(0),
+                        lambda a, p: a + F.coalesce(F.size(p.edges), F.lit(0))).alias("total_edges"))
+    q["q_hatch_paths"] = q_hatch_paths
+
     def q_lwpolyline_signature(spark, sf_dir):  # xyseb tuples @6dp (test_integration.py:521-675)
         lw = _media(spark, sf_dir).filter(F.col("entity_type") == "LWPOLYLINE")
         pts = F.from_json(F.get_json_object("data_json", "$.extra_data.points"),
@@ -1003,6 +1034,46 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN json_array_length(media_ref, '$.geometries.boundaries') = 1
                     THEN 'POLYGON' ELSE 'MULTIPOLYGON' END AS geom_type
         FROM ({_SQL_MEDIA}) WHERE entity_type = 'HATCH'
+    """
+
+    o["q_ray_xline_endpoints"] = f"""
+        SELECT handle, entity_type,
+               ROUND(LEAST(sx, sx + sc * ux), 6) AS bx0,
+               ROUND(LEAST(sy, sy + sc * uy), 6) AS by0,
+               ROUND(GREATEST(sx, sx + sc * ux), 6) AS bx1,
+               ROUND(GREATEST(sy, sy + sc * uy), 6) AS by1
+        FROM (
+          SELECT handle, entity_type,
+                 CASE WHEN entity_type = 'RAY' THEN 10.0 ELSE 1000.0 END AS sc,
+                 CAST(json_extract(media_ref,'$.geometries.start[0]') AS DOUBLE) AS sx,
+                 CAST(json_extract(media_ref,'$.geometries.start[1]') AS DOUBLE) AS sy,
+                 CAST(json_extract(media_ref,'$.geometries.unit_vector[0]') AS DOUBLE) AS ux,
+                 CAST(json_extract(media_ref,'$.geometries.unit_vector[1]') AS DOUBLE) AS uy
+          FROM ({_SQL_MEDIA}) WHERE entity_type IN ('RAY', 'XLINE'))
+    """
+
+    o["q_3dface_triangle_rule"] = f"""
+        SELECT handle, entity_type,
+               CASE WHEN json_extract(media_ref,'$.geometries.vtx3')
+                         = json_extract(media_ref,'$.geometries.vtx0')
+                    THEN 3 ELSE 4 END AS n_vertices
+        FROM ({_SQL_MEDIA}) WHERE entity_type IN ('3DFACE', 'SOLID', 'TRACE')
+    """
+
+    o["q_hatch_paths"] = f"""
+        SELECT handle,
+               len(list_filter(ps, p -> json_extract_string(p,'$.path_type') = 'polyline'))
+                 AS n_poly_paths,
+               len(list_filter(ps, p -> json_extract_string(p,'$.path_type') = 'edge'))
+                 AS n_edge_paths,
+               list_sum(list_transform(ps,
+                 p -> COALESCE(json_array_length(p,'$.vertices'), 0))) AS total_vertices,
+               list_sum(list_transform(ps,
+                 p -> COALESCE(json_array_length(p,'$.edges'), 0))) AS total_edges
+        FROM (
+          SELECT handle,
+                 CAST(json_extract(media_ref,'$.geometries.hatch_paths') AS JSON[]) AS ps
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'HATCH')
     """
 
     o["q_lwpolyline_signature"] = f"""
