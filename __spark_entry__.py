@@ -441,6 +441,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "geom_type")
     q["q_hatch_signatures"] = q_hatch_signatures
 
+    def q_circle_tessellation_bbox(spark, sf_dir):  # C7: 100-pt linspace bbox @6dp
+        c = _media(spark, sf_dir).filter(F.col("entity_type") == "CIRCLE")
+        return c.select(
+            "handle",
+            F.round("xmin", 6).alias("bx0"), F.round("ymin", 6).alias("by0"),
+            F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
+    q["q_circle_tessellation_bbox"] = q_circle_tessellation_bbox
+
+    def q_arc_tessellation_bbox(spark, sf_dir):  # C8: linspace(radians) bbox @6dp
+        a = _media(spark, sf_dir).filter(F.col("entity_type") == "ARC")
+        return a.select(
+            "handle",
+            F.round("xmin", 6).alias("bx0"), F.round("ymin", 6).alias("by0"),
+            F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
+    q["q_arc_tessellation_bbox"] = q_arc_tessellation_bbox
+
     def q_ray_xline_endpoints(spark, sf_dir):  # C3/C4 finite-proxy math @6dp
         m = _media(spark, sf_dir).filter(F.col("entity_type").isin("RAY", "XLINE"))
         return m.select(
@@ -1034,6 +1050,49 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN json_array_length(media_ref, '$.geometries.boundaries') = 1
                     THEN 'POLYGON' ELSE 'MULTIPOLYGON' END AS geom_type
         FROM ({_SQL_MEDIA}) WHERE entity_type = 'HATCH'
+    """
+
+    # np.linspace(a, b, 100): t_i = i * ((b-a)/99) for i<99, t_99 = b exactly
+    o["q_circle_tessellation_bbox"] = f"""
+        WITH c AS (
+          SELECT handle,
+                 CAST(json_extract(media_ref,'$.geometries.center[0]') AS DOUBLE) AS cx,
+                 CAST(json_extract(media_ref,'$.geometries.center[1]') AS DOUBLE) AS cy,
+                 CAST(json_extract(media_ref,'$.geometries.radius') AS DOUBLE) AS r
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'CIRCLE'),
+        pts AS (
+          SELECT handle,
+                 cx + r * cos(CASE WHEN i = 99 THEN 2*pi()
+                                   ELSE CAST(i AS DOUBLE) * (2*pi()/99.0) END) AS x,
+                 cy + r * sin(CASE WHEN i = 99 THEN 2*pi()
+                                   ELSE CAST(i AS DOUBLE) * (2*pi()/99.0) END) AS y
+          FROM c, range(100) t(i))
+        SELECT handle, ROUND(MIN(x), 6) AS bx0, ROUND(MIN(y), 6) AS by0,
+               ROUND(MAX(x), 6) AS bx1, ROUND(MAX(y), 6) AS by1
+        FROM pts GROUP BY handle
+    """
+
+    o["q_arc_tessellation_bbox"] = f"""
+        WITH a AS (
+          SELECT handle,
+                 CAST(json_extract(media_ref,'$.geometries.center[0]') AS DOUBLE) AS cx,
+                 CAST(json_extract(media_ref,'$.geometries.center[1]') AS DOUBLE) AS cy,
+                 CAST(json_extract(media_ref,'$.geometries.radius') AS DOUBLE) AS r,
+                 CAST(json_extract(media_ref,'$.geometries.start_angle') AS DOUBLE)
+                   * (pi()/180.0) AS t0,
+                 CAST(json_extract(media_ref,'$.geometries.end_angle') AS DOUBLE)
+                   * (pi()/180.0) AS t1
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'ARC'),
+        pts AS (
+          SELECT handle,
+                 cx + r * cos(CASE WHEN i = 99 THEN t1
+                                   ELSE t0 + CAST(i AS DOUBLE) * ((t1-t0)/99.0) END) AS x,
+                 cy + r * sin(CASE WHEN i = 99 THEN t1
+                                   ELSE t0 + CAST(i AS DOUBLE) * ((t1-t0)/99.0) END) AS y
+          FROM a, range(100) t(i))
+        SELECT handle, ROUND(MIN(x), 6) AS bx0, ROUND(MIN(y), 6) AS by0,
+               ROUND(MAX(x), 6) AS bx1, ROUND(MAX(y), 6) AS by1
+        FROM pts GROUP BY handle
     """
 
     o["q_ray_xline_endpoints"] = f"""
