@@ -457,6 +457,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
     q["q_arc_tessellation_bbox"] = q_arc_tessellation_bbox
 
+    def q_ellipse_tessellation_bbox(spark, sf_dir):  # C9: verbatim nonstandard formula
+        e = _media(spark, sf_dir).filter(F.col("entity_type") == "ELLIPSE")
+        return e.select(
+            "handle",
+            F.round("xmin", 6).alias("bx0"), F.round("ymin", 6).alias("by0"),
+            F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
+    q["q_ellipse_tessellation_bbox"] = q_ellipse_tessellation_bbox
+
+    def q_helix_tessellation_bbox(spark, sf_dir):  # C20: spiral projection bbox
+        h = _media(spark, sf_dir).filter(F.col("entity_type") == "HELIX")
+        return h.select(
+            "handle",
+            F.round("xmin", 6).alias("bx0"), F.round("ymin", 6).alias("by0"),
+            F.round("xmax", 6).alias("bx1"), F.round("ymax", 6).alias("by1"))
+    q["q_helix_tessellation_bbox"] = q_helix_tessellation_bbox
+
     def q_ray_xline_endpoints(spark, sf_dir):  # C3/C4 finite-proxy math @6dp
         m = _media(spark, sf_dir).filter(F.col("entity_type").isin("RAY", "XLINE"))
         return m.select(
@@ -1090,6 +1106,51 @@ def oracle_sql() -> dict[str, str]:
                  cy + r * sin(CASE WHEN i = 99 THEN t1
                                    ELSE t0 + CAST(i AS DOUBLE) * ((t1-t0)/99.0) END) AS y
           FROM a, range(100) t(i))
+        SELECT handle, ROUND(MIN(x), 6) AS bx0, ROUND(MIN(y), 6) AS by0,
+               ROUND(MAX(x), 6) AS bx1, ROUND(MAX(y), 6) AS by1
+        FROM pts GROUP BY handle
+    """
+
+    # the reference's own nonstandard parameterization, copied verbatim:
+    # x = cx + major.x*cos(t)*ratio ; y = cy + major.y*sin(t)
+    o["q_ellipse_tessellation_bbox"] = f"""
+        WITH e AS (
+          SELECT handle,
+                 CAST(json_extract(media_ref,'$.geometries.center[0]') AS DOUBLE) AS cx,
+                 CAST(json_extract(media_ref,'$.geometries.center[1]') AS DOUBLE) AS cy,
+                 CAST(json_extract(media_ref,'$.geometries.major_axis[0]') AS DOUBLE) AS mx,
+                 CAST(json_extract(media_ref,'$.geometries.major_axis[1]') AS DOUBLE) AS my,
+                 CAST(json_extract(media_ref,'$.geometries.ratio') AS DOUBLE) AS ratio,
+                 CAST(json_extract(media_ref,'$.geometries.start_param') AS DOUBLE) AS t0,
+                 CAST(json_extract(media_ref,'$.geometries.end_param') AS DOUBLE) AS t1
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'ELLIPSE'),
+        pts AS (
+          SELECT handle,
+                 cx + mx * cos(CASE WHEN i = 99 THEN t1
+                                    ELSE t0 + CAST(i AS DOUBLE) * ((t1-t0)/99.0) END) * ratio AS x,
+                 cy + my * sin(CASE WHEN i = 99 THEN t1
+                                    ELSE t0 + CAST(i AS DOUBLE) * ((t1-t0)/99.0) END) AS y
+          FROM e, range(100) t(i))
+        SELECT handle, ROUND(MIN(x), 6) AS bx0, ROUND(MIN(y), 6) AS by0,
+               ROUND(MAX(x), 6) AS bx1, ROUND(MAX(y), 6) AS by1
+        FROM pts GROUP BY handle
+    """
+
+    o["q_helix_tessellation_bbox"] = f"""
+        WITH h AS (
+          SELECT handle,
+                 CAST(json_extract(media_ref,'$.geometries.base_point[0]') AS DOUBLE) AS bx,
+                 CAST(json_extract(media_ref,'$.geometries.base_point[1]') AS DOUBLE) AS by,
+                 CAST(json_extract(media_ref,'$.geometries.radius') AS DOUBLE) AS r,
+                 CAST(json_extract(media_ref,'$.geometries.turns') AS DOUBLE) AS turns
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'HELIX'),
+        pts AS (
+          SELECT handle,
+                 bx + r * cos(CASE WHEN i = 99 THEN 2*pi()*turns
+                                   ELSE CAST(i AS DOUBLE) * ((2*pi()*turns)/99.0) END) AS x,
+                 by + r * sin(CASE WHEN i = 99 THEN 2*pi()*turns
+                                   ELSE CAST(i AS DOUBLE) * ((2*pi()*turns)/99.0) END) AS y
+          FROM h, range(100) t(i))
         SELECT handle, ROUND(MIN(x), 6) AS bx0, ROUND(MIN(y), 6) AS by0,
                ROUND(MAX(x), 6) AS bx1, ROUND(MAX(y), 6) AS by1
         FROM pts GROUP BY handle
