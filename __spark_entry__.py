@@ -957,7 +957,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_payload_sizes"] = f"""
-        SELECT doc_id, SUM(strlen(s.media_ref)) AS payload_bytes,
+        SELECT doc_id, CAST(SUM(strlen(s.media_ref)) AS BIGINT) AS payload_bytes,
                COUNT(*) AS n_payloads
         FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
         WHERE s.kind = 'media' GROUP BY doc_id
@@ -976,8 +976,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_text_span_tokens"] = f"""
         SELECT doc_id, COUNT(*) AS n_text_spans,
-               SUM(CASE WHEN trim(s.text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END) AS total_tokens
+               CAST(SUM(CASE WHEN trim(s.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(s.text), '\\s+')) END) AS BIGINT) AS total_tokens
         FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ})
         WHERE s.kind = 'text' GROUP BY doc_id
     """
@@ -1186,10 +1186,10 @@ def oracle_sql() -> dict[str, str]:
                  AS n_poly_paths,
                len(list_filter(ps, p -> json_extract_string(p,'$.path_type') = 'edge'))
                  AS n_edge_paths,
-               list_sum(list_transform(ps,
-                 p -> COALESCE(json_array_length(p,'$.vertices'), 0))) AS total_vertices,
-               list_sum(list_transform(ps,
-                 p -> COALESCE(json_array_length(p,'$.edges'), 0))) AS total_edges
+               CAST(list_sum(list_transform(ps,
+                 p -> COALESCE(json_array_length(p,'$.vertices'), 0))) AS BIGINT) AS total_vertices,
+               CAST(list_sum(list_transform(ps,
+                 p -> COALESCE(json_array_length(p,'$.edges'), 0))) AS BIGINT) AS total_edges
         FROM (
           SELECT handle,
                  CAST(json_extract(media_ref,'$.geometries.hatch_paths') AS JSON[]) AS ps
@@ -1219,10 +1219,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_multileader_signature"] = f"""
         SELECT handle,
-               json_array_length(media_ref, '$.geometries.leader_lines') AS n_leader_lines,
-               list_sum(list_transform(
+               CAST(json_array_length(media_ref, '$.geometries.leader_lines') AS BIGINT) AS n_leader_lines,
+               CAST(list_sum(list_transform(
                  CAST(json_extract(media_ref, '$.geometries.leader_lines') AS JSON[]),
-                 l -> json_array_length(l))) AS total_vertices,
+                 l -> json_array_length(l))) AS BIGINT) AS total_vertices,
                ROUND(CAST(json_extract(media_ref, '$.geometries.char_height') AS DOUBLE), 6)
                  AS char_height,
                ROUND(CAST(json_extract(media_ref, '$.geometries.base_point[0]') AS DOUBLE), 6) AS bx,

@@ -376,13 +376,23 @@ def corpus_dir(sf: float) -> str:
 
 def _promote(tmp: str, d: str) -> None:
     """Atomically publish a fully-built corpus dir (lost races discard
-    their build — content is deterministic, so either copy is correct)."""
+    their build — content is deterministic, so either copy is correct).
+
+    A marker-less existing dir (partial build left by a crashed run) is
+    NOT a winner: clear it first so the fresh build can land; only
+    discard tmp when the dir that beat us actually carries _COMPLETE."""
     import shutil
 
+    if os.path.isdir(d) and not os.path.exists(os.path.join(d, "_COMPLETE")):
+        shutil.rmtree(d, ignore_errors=True)
     try:
         os.rename(tmp, d)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(d, "_COMPLETE")):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a real race
+        else:  # loser was partial/vanished: replace it outright
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
 
 
 def ensure_corpus(spark: SparkSession, sf: float) -> str:

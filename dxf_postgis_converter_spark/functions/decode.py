@@ -509,9 +509,10 @@ def _decode_arrow_batches(batches, emit_media_ref: bool = True):
         n = batch.num_rows
         if n == 0:
             continue
-        doc_ids = batch.column(0).to_pylist()
-        refs = batch.column(1).to_pylist()
-        offsets = batch.column(2).to_pylist()
+        idx = batch.schema.get_field_index
+        doc_ids = batch.column(idx("doc_id")).to_pylist()
+        refs = batch.column(idx("media_ref")).to_pylist()
+        offsets = batch.column(idx("offset")).to_pylist()
         recs = []
         append = recs.append
         for i in range(n):

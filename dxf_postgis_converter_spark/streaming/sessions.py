@@ -79,7 +79,15 @@ def _session_fn(gap_min: int):
                 if end is not None and (ts - end).total_seconds() > gap_s:
                     out.append((user_id, start, end, n, round(total, 2)))
                     start, n, total = ts, 0, 0.0
-                if start is None:
+                elif start is not None and (start - ts).total_seconds() > gap_s:
+                    # late-but-valid event (within watermark, earlier micro-
+                    # batch missed it) that is > gap earlier than the open
+                    # session: it forms its own already-closed session
+                    out.append((user_id, ts, ts, 1, round(float(value), 2)))
+                    continue
+                if start is None or ts < start:
+                    # out-of-order event inside the gap extends the session
+                    # backwards, like the batch twin's global sort would
                     start = ts
                 end = ts if end is None or ts > end else end
                 n += 1
