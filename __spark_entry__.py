@@ -134,6 +134,85 @@ def _sanitize_sql(expr: str) -> str:
 
 # normalized text + md5 fingerprint (functions.text.fingerprint parity)
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+# driver testdata root at the driver's correctness scale (the replica
+# oracles below inline VALUES computed from these parquet files, exactly
+# like the corpus-backed oracles read DOCS_PQ from a fixed sf0.01 path)
+TESTDATA_SF001 = "/root/testdata/sf0.01"
+
+
+def _values_sql(rows, cols_types) -> str:
+    """Inline VALUES oracle (used for operators whose contract is
+    deterministic but not ANSI-SQL-expressible: the expected rows are
+    derived by the independent pure-Python replicas in
+    dxf_postgis_converter_spark/replicas.py)."""
+    names = ", ".join(n for n, _ in cols_types)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols_types)
+    if not rows:
+        empty = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols_types)
+        return f"SELECT {empty} WHERE 1 = 0"
+
+    def lit(v, t):
+        if v is None:
+            return "NULL"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t == "DOUBLE":
+            return repr(float(v))
+        return str(int(v))
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, (_, t) in zip(r, cols_types)) + ")"
+        for r in rows)
+    return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _testdata_docs(with_suffix: str | None = None, mod: int = 10):
+    """(doc_id, text) rows of the sf0.01 documents table, plus the seeded
+    near-dups (doc_id % mod == 0 → id+1e6, text+suffix) when requested."""
+    import duckdb as _dd
+    rows = _dd.sql(
+        f"SELECT doc_id, text FROM '{TESTDATA_SF001}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    if with_suffix is not None:
+        rows = rows + [(i + 1_000_000, t + with_suffix) for i, t in rows if i % mod == 0]
+    return rows
+
+
+def _testdata_embeddings():
+    import duckdb as _dd
+    return [(i, [float(x) for x in v]) for i, v in _dd.sql(
+        f"SELECT vec_id, embedding FROM '{TESTDATA_SF001}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()]
+
+
+def _gram_jaccard_sql(seed_mod: int, suffix: str, threshold: float, n: int = 3) -> str:
+    """Exact word n-gram Jaccard over documents ∪ seeded dups via an
+    inverted-index join — the DuckDB twin of operators/dedup.py's
+    word_shingles + exact_jaccard (same normalization, same <n-token
+    whole-text rule, same distinct-set semantics)."""
+    edit = f" || '{suffix}'" if suffix else ""
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text{edit} FROM documents WHERE doc_id % {seed_mod} = 0),
+        t AS (SELECT doc_id,
+                     regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM base),
+        g AS (SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                     ELSE list_transform(range(len(w) - {n - 1}),
+                                         i -> array_to_string(w[i+1:i+{n}], ' ')) END) AS gram
+              FROM t),
+        sz AS (SELECT doc_id, COUNT(*) AS nn FROM g GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                  FROM g a JOIN g b USING (gram)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(c * 1.0 / (sa.nn + sb.nn - c), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE ROUND(c * 1.0 / (sa.nn + sb.nn - c), 6) >= {threshold}
+    """
 _TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
              "len(regexp_split_to_array(trim(text), '\\s+')) END")
 
@@ -561,19 +640,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_exact(d).select("doc_id", "source")
     q["q_dedup_keep"] = q_dedup_keep
 
-    # ------------- rows-only (non-SQL-expressible) operators -------------
+    # ------------- dedup / ANN operators (exact-verified outputs) -------------
+    # Seeded-dup predicates use doc_id % N (not xxhash64) so the DuckDB
+    # oracle can construct the identical augmented corpus in plain SQL.
 
     def q_minhash_pairs(spark, sf_dir):  # MinHash+LSH near-dup (seeded dups injected)
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" trailing edit")).alias("text"))
-        return minhash_lsh_pairs(d.unionByName(dups), jaccard_threshold=0.6)
+        # exact word-3-gram Jaccard on LSH candidates; per-pair recall
+        # 1-(1-j^2)^32 ≈ 1-3e-16 at the corpus' minimum true-pair j=0.82
+        return minhash_lsh_pairs(d.unionByName(dups), jaccard_threshold=0.6) \
+            .select("id_a", "id_b", "jaccard")
     q["q_minhash_pairs"] = q_minhash_pairs
 
     def q_simhash_pairs(spark, sf_dir):  # SimHash hamming≤3 near-dup
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(".")).alias("text"))
         return simhash_pairs(d.unionByName(dups), max_hamming=3)
@@ -581,10 +665,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ngram_jaccard_pairs(spark, sf_dir):  # exact n-gram Jaccard near-dup
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).select(
+        dups = d.filter(F.col("doc_id") % 20 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
         return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.8)
     q["q_ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
+
+    def q_embedding_neardup_lsh(spark, sf_dir):  # scale path: LSH buckets + verify
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        return embedding_neardup_pairs(e, threshold=0.4, n_planes=12)
+    q["q_embedding_neardup_lsh"] = q_embedding_neardup_lsh
 
     def q_ivf_topk(spark, sf_dir):  # IVF-bucketed ANN (recall<1 by design)
         from dxf_postgis_converter_spark.operators.similarity import ivf_topk
@@ -674,9 +764,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_frame_sample"] = q_frame_sample
 
     def q_svg_previews(spark, sf_dir):  # S13 SVG preview sink (per-doc render)
+        # element counts are PARSED FROM the rendered SVG string, proving
+        # the render actually contains one mark per geometry — and they are
+        # SQL-derivable from the media spans (geometry-kind rules), giving
+        # the sink a value-level oracle
         from dxf_postgis_converter_spark.operators.svg import svg_previews
         return svg_previews(_media(spark, sf_dir)).select(
-            "doc_id", "n_elements", F.length("svg").alias("svg_bytes"))
+            "doc_id",
+            F.regexp_count("svg", F.lit("<circle")).alias("n_circles"),
+            F.regexp_count("svg", F.lit("<path")).alias("n_paths"),
+            "n_elements")
     q["q_svg_previews"] = q_svg_previews
 
     def q_adaptive_cell_stats(spark, sf_dir):  # skew: hot-cell adaptive split report
@@ -722,7 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rolling_fingerprints(spark, sf_dir):  # rolling-hash winnowing (MOSS)
         from dxf_postgis_converter_spark.functions.text import shared_fingerprint_pairs
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        dups = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" tail")).alias("text"))
         return shared_fingerprint_pairs(d.unionByName(dups),
@@ -1314,7 +1411,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT f.res, f.cell FROM flags f
           JOIN chosen ch ON f.handle = ch.handle AND f.res = ch.r)
         SELECT res, COUNT(*) AS n_cells, MAX(n) AS max_cell_rows,
-               ROUND(AVG(n), 2) AS avg_cell_rows, SUM(n) AS rows
+               ROUND(AVG(n), 2) AS avg_cell_rows, CAST(SUM(n) AS BIGINT) AS rows
         FROM (SELECT res, cell, COUNT(*) AS n FROM final GROUP BY 1, 2)
         GROUP BY res
     """
@@ -1396,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_token_stats"] = f"""
         SELECT source, COUNT(*) AS n_docs,
-               SUM({_TOKC_SQL}) AS total_tokens,
+               CAST(SUM({_TOKC_SQL}) AS BIGINT) AS total_tokens,
                ROUND(AVG(n_chars), 6) AS avg_chars
         FROM documents GROUP BY source
     """
@@ -1418,7 +1515,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_word_tokens"] = r"""
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS total_units
+               CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_units
         FROM documents GROUP BY source
     """
 
@@ -1446,6 +1543,76 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
         FROM embeddings GROUP BY label
+    """
+
+    # ---------------- formerly rows-only operators (round 2) ----------------
+    from dxf_postgis_converter_spark import replicas
+
+    # exact word-3-gram Jaccard, SQL twin of the LSH-candidates + exact-verify
+    # pipeline (equality holds because every true pair sits at j ≥ 0.82 and
+    # per-pair LSH recall at bands=32/r=2 is 1-3e-16 — see minhash_lsh_pairs)
+    o["q_minhash_pairs"] = _gram_jaccard_sql(10, " trailing edit", 0.6)
+    o["q_ngram_jaccard_pairs"] = _gram_jaccard_sql(20, "", 0.8)
+
+    o["q_simhash_pairs"] = _values_sql(
+        replicas.simhash_pairs(_testdata_docs(with_suffix=".")),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")])
+
+    o["q_rolling_fingerprints"] = _values_sql(
+        replicas.shared_fingerprint_pairs(
+            _testdata_docs(with_suffix=" tail"), min_shared=5, min_containment=0.8),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+         ("n_shared", "BIGINT"), ("containment", "DOUBLE")])
+
+    _emb = _testdata_embeddings()
+    _emb_q = [(i, v) for i, v in _emb if i < 3]
+    _emb_c = [(i, v) for i, v in _emb if i >= 3]
+    _topk_cols = [("query_id", "BIGINT"), ("vec_id", "BIGINT"),
+                  ("cosine", "DOUBLE"), ("rank", "INTEGER")]
+    o["q_lsh_ann_topk"] = _values_sql(
+        replicas.lsh_topk(_emb_c, _emb_q, k=5, n_planes=8), _topk_cols)
+    o["q_ivf_topk"] = _values_sql(
+        replicas.ivf_topk(_emb_c, _emb_q, k=5, n_centroids=16, n_probe=4), _topk_cols)
+    o["q_embedding_neardup_lsh"] = _values_sql(
+        replicas.embedding_neardup_lsh(_emb, threshold=0.4, n_planes=12),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")])
+
+    o["q_image_features_sample"] = _values_sql(
+        replicas.image_feature_rows(90),
+        [("asset_id", "VARCHAR"), ("width", "INTEGER"),
+         ("height", "INTEGER"), ("feat_sum", "DOUBLE")])
+    o["q_frame_sample"] = _values_sql(
+        replicas.frame_count_rows(90, every_ms=1000),
+        [("asset_id", "VARCHAR"), ("n_frames", "BIGINT")])
+
+    # SVG sink: expected per-doc mark counts from the geometry-kind rules
+    # (one <circle> per point-kind entity, one <path> per line/polygon-kind
+    # entity, HATCH = one path per boundary when MULTIPOLYGON)
+    o["q_svg_previews"] = f"""
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
+                                  'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX')
+                             THEN 1 ELSE 0 END) AS INTEGER) AS n_circles,
+               CAST(SUM(CASE
+                 WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
+                                      'LEADER','HELIX','POLYLINE','LWPOLYLINE',
+                                      'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
+                 WHEN entity_type = 'HATCH' THEN
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
+                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                 ELSE 0 END) AS INTEGER) AS n_paths,
+               CAST(SUM(CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
+                                  'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX')
+                             THEN 1 ELSE 0 END)
+                  + SUM(CASE
+                 WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
+                                      'LEADER','HELIX','POLYLINE','LWPOLYLINE',
+                                      'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
+                 WHEN entity_type = 'HATCH' THEN
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
+                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                 ELSE 0 END) AS INTEGER) AS n_elements
+        FROM ({_SQL_MEDIA}) GROUP BY doc_id
     """
 
     return o

@@ -71,7 +71,48 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
+# --- word n-gram shingles (pure JVM) -----------------------------------------
+
+def word_shingles(text_col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> — pure column algebra
+    (split → sequence/transform/slice → array_distinct), zero Python.
+    Texts with fewer than n tokens contribute one shingle: the whole
+    normalized text. Chosen over char shingles for the scale path because
+    word grams are rarer (inverted-index joins stay bounded) and the exact
+    same set is expressible in ANSI SQL for the correctness oracle."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(grams))
+
+
+def exact_jaccard(grams_a, grams_b) -> F.Column:
+    """|A∩B| / |A∪B| on two distinct-element arrays (JVM)."""
+    inter = F.size(F.array_intersect(grams_a, grams_b)).cast("double")
+    union = F.size(F.array_union(grams_a, grams_b)).cast("double")
+    return inter / union
+
+
 # --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature_jvm(grams_col, num_hashes: int = 64) -> F.Column:
+    """array<bigint> of k minhashes over a shingle array — entirely JVM:
+    sig[k] = min over grams of xxhash64(k, gram). No Python stage at all
+    (the r1 pandas-UDF signature path measured ~6x slower).
+
+    Shaped as ONE fold over the gram array (not k nested scans) so the
+    gram expression is referenced exactly once: Catalyst's projection
+    collapse inlines upstream expressions into lambda bodies, and a
+    transform-per-k formulation re-evaluates the whole shingle pipeline
+    k times per row (measured 44x slower)."""
+    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        grams_col, init,
+        lambda acc, g: F.zip_with(acc, ks, lambda a, k: F.least(a, F.xxhash64(k, g))))
+
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -98,27 +139,44 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 64, bands: int = 16, shingle_n: int = 5,
+    num_hashes: int = 64, bands: int = 32, shingle_n: int = 3,
     jaccard_threshold: float = 0.7, max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+    """Near-duplicate pairs (id_a < id_b) with EXACT word-shingle Jaccard
+    ≥ threshold, found via MinHash banding.
 
-    banding: sig → `bands` buckets of rows r=num_hashes/bands; bucket key
-    = hash(band contents); candidates = self-join within bucket; verify =
-    signature-level Jaccard estimate (fraction of equal minhashes).
-    Buckets larger than max_bucket are dropped (boilerplate-cluster guard —
-    at web scale a 10^6-doc bucket is boilerplate, not near-dup signal).
+    Pipeline (all JVM until the final verify, also JVM):
+      1. sig: k minhashes over word n-gram shingles (minhash_signature_jvm);
+      2. banding: sig → `bands` buckets of r=num_hashes/bands rows; bucket
+         key = xxhash64(band slice); candidates = equi-join on
+         (band, bucket) — the classic shuffle-friendly formulation;
+      3. hot-bucket cap: buckets larger than max_bucket are dropped
+         (boilerplate-cluster guard — at web scale a 10^6-doc bucket is
+         boilerplate, not near-dup signal); the HOT set is tiny by
+         definition → broadcast anti-join;
+      4. verify: join candidates back to the shingle arrays and keep pairs
+         whose EXACT Jaccard clears the threshold (est_jaccard kept for
+         inspection). Exact verify makes the output deterministic — LSH
+         only affects recall, which is 1 - (1-t^r)^bands per pair
+         (≈ 3e-16 at t=0.82, r=2, bands=32).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    base = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
+    # signatures via explode + hash-aggregate: one physical sig row per doc
+    # (map-side partial min makes the shuffle one 64-long row per doc).
+    # This materialization barrier matters: a pure-expression sig column
+    # gets inlined by projection collapse into the per-band bucket hash
+    # below and re-evaluated bands× per row (measured 32x slower).
+    eg = base.select(id_col, F.explode("_grams").alias("_g"))
+    sig = (eg.groupBy(id_col)
+           .agg(*[F.min(F.xxhash64(F.lit(k), "_g")).alias(f"_h{k}")
+                  for k in range(num_hashes)])
+           .select(F.col(id_col), F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig")))
     sig = sig.withColumn("_band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
     sig = sig.withColumn("_bhash", F.xxhash64(F.slice(F.col("sig"), F.col("_band") * r + 1, r)))
     buckets = sig.select(id_col, "sig", "_band", "_bhash")
 
-    # cap pathological buckets: the HOT set (count > cap) is tiny by
-    # definition (the skewed tail) → broadcast anti-join; broadcasting the
-    # complement (all ok buckets ≈ bands × docs rows) would not scale
     sizes = buckets.groupBy("_band", "_bhash").count()
     hot = sizes.filter(F.col("count") > max_bucket).drop("count")
     buckets = buckets.join(F.broadcast(hot), ["_band", "_bhash"], "left_anti")
@@ -131,41 +189,47 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.size("sig_a")
+    cand = cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
     return (
-        cand.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard", F.round(exact_jaccard("_ga", "_gb"), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard", "est_jaccard")
     )
 
 
-# --- n-gram Jaccard (exact, small-candidate path) ---------------------------
+# --- n-gram Jaccard (exact, inverted-index path) -----------------------------
 
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    shingle_n: int = 5, threshold: float = 0.5, max_bucket: int = 2000,
+    shingle_n: int = 3, threshold: float = 0.5, max_gram_df: int = 10000,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets; candidates via shared rare shingle
-    (prefix filtering: join on the min shingle hash of each doc)."""
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                sh = _shingles(t or "", shingle_n)
-                rows.append((i, (sh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist()))
-            yield pd.DataFrame({id_col: [r[0] for r in rows], "sh": [r[1] for r in rows]})
+    """Exact word n-gram Jaccard ≥ threshold via an inverted-index join:
+    explode distinct shingles, self-equi-join on the shingle, count
+    co-occurrences (= |A∩B|), derive Jaccard from the per-doc set sizes.
 
-    schema = T.StructType([docs.schema[id_col], T.StructField("sh", T.ArrayType(T.LongType()))])
-    s = docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
-    # candidate key: each doc's K smallest shingles (recall-complete for
-    # threshold ≥ 0.5 when K=3 on near-identical docs; documented approximation)
-    s = s.withColumn("key", F.explode(F.slice(F.sort_array("sh"), 1, 3)))
-    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "key")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "key")
-    cand = a.join(b, "key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    Shingles whose document frequency exceeds max_gram_df are excluded
+    from CANDIDATE generation (stop-gram guard — at corpus scale a gram
+    appearing in 10^6 docs generates 10^12 pairs and signals boilerplate,
+    not similarity); the exact verify then recomputes Jaccard from the
+    full arrays, so the cap can only lose pairs whose EVERY shared gram
+    is a stop-gram — impossible above threshold 0.5 unless the docs are
+    boilerplate by definition."""
+    base = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
+    e = base.select(id_col, F.explode("_grams").alias("_g"))
+    df_cap = e.groupBy("_g").count().filter(F.col("count") > max_gram_df).drop("count")
+    e = e.join(F.broadcast(df_cap), "_g", "left_anti")
+    a = e.select(F.col(id_col).alias("id_a"), "_g")
+    b = e.select(F.col(id_col).alias("id_b"), "_g")
+    cand = (a.join(b, "_g").filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard", F.round(exact_jaccard("_ga", "_gb"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -125,10 +125,12 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
 def sample_centroids(emb: DataFrame, n_centroids: int,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
     """Deterministic coarse codebook: the n vectors with the smallest
-    xxhash64(id) (a seeded sample; at scale replace with a proper k-means
-    fit over a sample — the IVF plumbing is identical)."""
+    md5(id) (a seeded sample; md5 exists in Spark, DuckDB and hashlib, so
+    the correctness oracle can replicate centroid choice exactly; at scale
+    replace with a proper k-means fit over a sample — the IVF plumbing is
+    identical)."""
     rows = (emb.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .limit(n_centroids).collect())
     return np.asarray([r[1] for r in rows], dtype=np.float64)
 

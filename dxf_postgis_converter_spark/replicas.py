@@ -1,0 +1,313 @@
+"""Independent pure-Python replicas of the non-SQL-expressible operators,
+used ONLY to generate value-level oracles (inlined as VALUES tables in
+oracle_sql()). Each replica re-derives the operator's contract from its
+spec — plain loops over plain ints/floats — rather than calling the Spark
+implementation, so a bug in the distributed path cannot silently agree
+with its own oracle. numpy appears only where the contract itself is
+defined in terms of numpy's PRNG streams (synthetic assets, LSH planes).
+
+Determinism requirements mirrored here:
+- splitmix64 mixing and FNV-weighted byte windows (operators/dedup.py,
+  functions/text.py) — reimplemented on Python ints mod 2^64;
+- JVM fold arithmetic: Spark's aggregate() is a sequential left fold over
+  IEEE doubles, so sums/dots here accumulate sequentially in order;
+- Spark F.round(x, 6) is BigDecimal HALF_UP — replicated with decimal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import ROUND_HALF_UP, Decimal
+
+_M = (1 << 64) - 1
+_FNV = 1099511628211
+_C = 0x9E3779B97F4A7C15
+_M1 = 0xBF58476D1CE4E5B9
+_M2 = 0x94D049BB133111EB
+
+
+def round6(x: float) -> float:
+    """Spark F.round(double, 6): BigDecimal(x).setScale(6, HALF_UP)."""
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _splitmix(x: int) -> int:
+    x = (x + _C) & _M
+    x = ((x ^ (x >> 30)) * _M1) & _M
+    x = ((x ^ (x >> 27)) * _M2) & _M
+    return x ^ (x >> 31)
+
+
+def _norm_text(text: str) -> str:
+    return " ".join((text or "").lower().split())
+
+
+# --- simhash (operators/dedup.py: _shingles + simhash_signatures) -----------
+
+def char_shingle_hashes(text: str, n: int) -> set[int]:
+    """Distinct splitmix-mixed FNV-weighted byte n-gram hashes of the
+    normalized text (byte windows of the UTF-8 encoding, '_'-padded)."""
+    t = _norm_text(text)
+    if len(t) < n:
+        t = t.ljust(n, "_")
+    raw = t.encode("utf-8", "replace")
+    if len(raw) < n:
+        raw = raw + b"\x00" * (n - len(raw))
+    w = [pow(_FNV, j, 1 << 64) for j in range(n)]
+    out = set()
+    for i in range(len(raw) - n + 1):
+        s = 0
+        for j in range(n):
+            s += raw[i + j] * w[j]
+        out.add(_splitmix(s & _M))
+    return out
+
+
+def simhash(text: str, shingle_n: int = 4) -> int:
+    sh = char_shingle_hashes(text, shingle_n)
+    m = len(sh)
+    v = 0
+    for b in range(64):
+        c = sum(1 for h in sh if (h >> b) & 1)
+        if 2 * c > m:
+            v |= 1 << b
+    return v & 0x7FFFFFFFFFFFFFFF
+
+
+def simhash_pairs(docs: list[tuple[int, str]], max_hamming: int = 3,
+                  shingle_n: int = 4) -> list[tuple[int, int, int]]:
+    """All (id_a < id_b, hamming) with hamming(simhash) ≤ max_hamming —
+    brute force over every pair (the 4-block pigeonhole in the Spark path
+    is recall-complete for d ≤ 3, so its output equals this set)."""
+    sigs = sorted((i, simhash(t, shingle_n)) for i, t in docs)
+    out = []
+    for x in range(len(sigs)):
+        ia, sa = sigs[x]
+        for y in range(x + 1, len(sigs)):
+            ib, sb = sigs[y]
+            h = (sa ^ sb).bit_count()
+            if h <= max_hamming:
+                out.append((ia, ib, h))
+    return out
+
+
+# --- winnowing fingerprints (functions/text.py) ------------------------------
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> set[int]:
+    """Rolling FNV-weighted k-gram hashes, two-step mix (NOT full
+    splitmix — text.py stops after the first multiply), window-min
+    selection, distinct, masked to 63 bits."""
+    t = _norm_text(text)
+    raw = t.encode("utf-8", "replace")
+    if len(raw) < k:
+        raw = raw + b"_" * (k - len(raw))
+    w = [pow(_FNV, j, 1 << 64) for j in range(k)]
+    hs = []
+    for i in range(len(raw) - k + 1):
+        s = 0
+        for j in range(k):
+            s += raw[i + j] * w[j]
+        h = (s & _M) + _C & _M
+        h = ((h ^ (h >> 30)) * _M1) & _M
+        h = h ^ (h >> 31)
+        hs.append(h)
+    if len(hs) < window:
+        sel = {min(hs)}
+    else:
+        sel = {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
+    return {v & 0x7FFFFFFFFFFFFFFF for v in sel}
+
+
+def shared_fingerprint_pairs(docs: list[tuple[int, str]], min_shared: int,
+                             min_containment: float, k: int = 5,
+                             window: int = 4) -> list[tuple[int, int, int, float]]:
+    fps = {i: winnow_fingerprints(t, k, window) for i, t in docs}
+    # candidate pairs via inverted index (same candidate rule as the join)
+    inv: dict[int, list[int]] = {}
+    for i, s in fps.items():
+        for f in s:
+            inv.setdefault(f, []).append(i)
+    cand = set()
+    for ids in inv.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    out = []
+    for ia, ib in sorted(cand):
+        shared = len(fps[ia] & fps[ib])
+        cont = round6(shared / min(len(fps[ia]), len(fps[ib])))
+        if shared >= min_shared and cont >= min_containment:
+            out.append((ia, ib, shared, cont))
+    return out
+
+
+# --- similarity search (operators/similarity.py) ------------------------------
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fold_norm(a: list[float]) -> float:
+    import math
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _planes(dim: int, n_planes: int, seed: int):
+    import numpy as np
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def _sig_bits(vec: list[float], planes) -> str:
+    return "".join(
+        "1" if _fold_dot(vec, [float(w) for w in p]) >= 0 else "0" for p in planes)
+
+
+def _rerank_topk(cands: dict[int, tuple], queries: dict[int, list[float]],
+                 pairs: set[tuple[int, int]], k: int):
+    """Exact cosine rerank of candidate (query, vec) pairs: rank by
+    (rounded cosine desc, vec_id) like the Spark window."""
+    out = []
+    for qid in sorted(queries):
+        qv = queries[qid]
+        qn = _fold_norm(qv)
+        scored = []
+        for (q2, vid) in pairs:
+            if q2 != qid:
+                continue
+            v, en = cands[vid]
+            cos = round6(_fold_dot(v, qv) / (en * qn))
+            scored.append((-cos, vid, cos))
+        scored.sort()
+        for rank, (_, vid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, cos, rank))
+    return out
+
+
+def lsh_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[float]]],
+             k: int, n_planes: int = 8, seed: int = 1234,
+             multiprobe: bool = True) -> list[tuple[int, int, float, int]]:
+    dim = len(emb[0][1])
+    planes = _planes(dim, n_planes, seed)
+    esig = {i: _sig_bits(v, planes) for i, v in emb}
+    evec = {i: (v, _fold_norm(v)) for i, v in emb}
+    pairs = set()
+    for qid, qv in queries:
+        s0 = _sig_bits(qv, planes)
+        probes = {s0}
+        if multiprobe:
+            for i in range(n_planes):
+                probes.add(s0[:i] + ("0" if s0[i] == "1" else "1") + s0[i + 1:])
+        for vid, s in esig.items():
+            if s in probes:
+                pairs.add((qid, vid))
+    return _rerank_topk(evec, dict(queries), pairs, k)
+
+
+def ivf_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[float]]],
+             k: int, n_centroids: int = 16, n_probe: int = 4):
+    import numpy as np
+    ids = sorted(emb, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    c = np.asarray([v for _, v in ids[:n_centroids]], dtype=np.float64)
+    c_sq = (c ** 2).sum(axis=1)
+    m = np.asarray([v for _, v in emb], dtype=np.float64)
+    d2 = (m ** 2).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+    assign = d2.argmin(axis=1)
+    cells: dict[int, list[int]] = {}
+    for (vid, _), cid in zip(emb, assign):
+        cells.setdefault(int(cid), []).append(vid)
+    evec = {i: (v, _fold_norm(v)) for i, v in emb}
+    pairs = set()
+    for qid, qv in queries:
+        dq = ((c - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        for cid in np.argsort(dq)[:n_probe]:
+            for vid in cells.get(int(cid), []):
+                pairs.add((qid, vid))
+    return _rerank_topk(evec, dict(queries), pairs, k)
+
+
+def embedding_neardup_lsh(emb: list[tuple[int, list[float]]], threshold: float,
+                          n_planes: int = 12, seed: int = 1234):
+    """LSH-bucketed near-dup pairs + exact cosine verify (the scale path
+    of operators/dedup.embedding_neardup_pairs)."""
+    dim = len(emb[0][1])
+    planes = _planes(dim, n_planes, seed)
+    buckets: dict[str, list[int]] = {}
+    evec = {i: (v, _fold_norm(v)) for i, v in emb}
+    for i, v in emb:
+        buckets.setdefault(_sig_bits(v, planes), []).append(i)
+    out = []
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                va, na = evec[a]
+                vb, nb = evec[b]
+                cos = round6(_fold_dot(va, vb) / (na * nb))
+                if cos >= threshold:
+                    out.append((a, b, cos))
+    return sorted(out)
+
+
+# --- multimodal fake codec (functions/multimodal.py) --------------------------
+
+def synthetic_asset_meta(i: int, seed: int = 42):
+    """Replays the PRNG draw order of multimodal.synthetic_assets for one
+    asset id: payload size → payload bytes → (width, height | not audio)
+    → (duration_ms | not image)."""
+    import numpy as np
+    rng = np.random.default_rng(seed * 1_000_003 + int(i))
+    kind = ("image", "audio", "video")[int(i) % 3]
+    size = int(rng.integers(64, 512))
+    payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+    width = height = duration_ms = None
+    if kind != "audio":
+        width = int(rng.integers(16, 256))
+        height = int(rng.integers(16, 256))
+    if kind != "image":
+        duration_ms = int(rng.integers(1000, 60000))
+    return kind, payload, width, height, duration_ms
+
+
+def image_feature_rows(n: int, dim: int = 64, seed: int = 42):
+    """(asset_id, width, height, feat_sum) for every image asset in
+    range(n): fake-decode (blake2b-seeded pixel stream), g×g channel-mean
+    grid pool in float32, /255, then the JVM-fold sum rounded to 6 dp."""
+    import numpy as np
+    out = []
+    g = int(dim ** 0.5)
+    for i in range(n):
+        kind, payload, w, h, _ = synthetic_asset_meta(i, seed)
+        if kind != "image":
+            continue
+        pix_seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        img = np.random.default_rng(pix_seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.float32)
+        gh, gw = max(h // g, 1), max(w // g, 1)
+        pooled = img[: g * gh, : g * gw].reshape(g, gh, g, gw, 3).mean(axis=(1, 3, 4))
+        vec = pooled.flatten()
+        vec = np.pad(vec, (0, dim - len(vec)))[:dim] / 255.0
+        floats = [float(np.float32(x)) for x in vec]  # array<float> widening
+        acc = 0.0
+        for x in floats:
+            acc += x
+        out.append((f"asset_{i:08d}", w, h, round6(acc)))
+    return out
+
+
+def frame_count_rows(n: int, every_ms: int = 1000, seed: int = 42):
+    """(asset_id, n_frames) per video asset: |sequence(0, dur-1, step)|."""
+    out = []
+    for i in range(n):
+        kind, _, _, _, dur = synthetic_asset_meta(i, seed)
+        if kind != "video":
+            continue
+        out.append((f"asset_{i:08d}", (dur - 1) // every_ms + 1))
+    return out

@@ -37,24 +37,36 @@ def brute_jaccard(a: str, b: str, n=5):
     return len(sa & sb) / len(sa | sb)
 
 
+def brute_word_jaccard(a: str, b: str, n=3):
+    def grams(t):
+        w = " ".join(t.lower().split()).split(" ")
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = grams(a), grams(b)
+    return len(sa & sb) / len(sa | sb)
+
+
 def test_minhash_lsh_finds_neardups(dup_docs):
-    pairs = {(r.id_a, r.id_b): r.est_jaccard
-             for r in minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5).collect()}
-    # exact dups estimate 1.0
-    assert pairs[("d1", "d2")] == 1.0
-    assert ("d1", "d4") in pairs  # near-dup caught
-    est = pairs[("d1", "d4")]
-    true_j = brute_jaccard("the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
-                           "the quick brown fox jumps over the sleepy dog and runs far away into the woods tonight")
-    assert abs(est - true_j) < 0.25  # 64-hash estimator tolerance
-    assert ("d1", "d5") not in pairs  # unrelated not paired
+    rows = minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5).collect()
+    exact = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in rows}
+    # exact dups: both the exact verify and the estimator see 1.0
+    assert exact[("d1", "d2")] == 1.0 and est[("d1", "d2")] == 1.0
+    assert ("d1", "d4") in exact  # near-dup caught
+    true_j = brute_word_jaccard(
+        "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
+        "the quick brown fox jumps over the sleepy dog and runs far away into the woods tonight")
+    assert exact[("d1", "d4")] == pytest.approx(round(true_j, 6))  # exact verify
+    assert abs(est[("d1", "d4")] - true_j) < 0.25  # 64-hash estimator tolerance
+    assert ("d1", "d5") not in exact  # unrelated not paired
 
 
 def test_ngram_jaccard_exact_values(dup_docs):
     pairs = {(r.id_a, r.id_b): r.jaccard
              for r in ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()}
     assert pairs[("d1", "d2")] == 1.0
-    true_j = brute_jaccard(
+    true_j = brute_word_jaccard(
         "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight",
         "the quick brown fox jumps over the sleepy dog and runs far away into the woods tonight")
     assert pairs[("d1", "d4")] == pytest.approx(round(true_j, 6))

@@ -30,19 +30,26 @@ def test_oracle_coverage_floor():
 
 def test_value_hash_properties():
     """The correctness gate's hash: row/column order insensitive,
-    value sensitive, float-format stable."""
+    value sensitive, float-format stable, and dtype-sensitive across the
+    pandas path (an int column and a float64 column of equal values must
+    hash differently — the r1 HUGEINT lesson)."""
+    import pandas as pd
+
     sys.path.insert(0, "/root/repo/scripts")
     from selfcheck import value_hash
 
-    rows = [(1, "a", 2.5), (2, "b", 3.5)]
-    cols = ["x", "s", "v"]
-    h = value_hash(rows, cols)
+    pdf = pd.DataFrame({"x": [1, 2], "s": ["a", "b"], "v": [2.5, 3.5]})
+    h = value_hash(pdf)
     # row order insensitive
-    assert value_hash(list(reversed(rows)), cols) == h
-    # column order insensitive (values permuted consistently)
-    perm_rows = [(r[1], r[0], r[2]) for r in rows]
-    assert value_hash(perm_rows, ["s", "x", "v"]) == h
+    assert value_hash(pdf.iloc[::-1]) == h
+    # column order insensitive
+    assert value_hash(pdf[["v", "s", "x"]]) == h
     # value sensitive
-    assert value_hash([(1, "a", 2.5), (2, "b", 3.50001)], cols) != h
-    # 6dp float formatting: 2.5 vs 2.5000000001 collide (by design), 1e-5 doesn't
-    assert value_hash([(1, "a", 2.5000000001), (2, "b", 3.5)], cols) == h
+    assert value_hash(pd.DataFrame({"x": [1, 2], "s": ["a", "b"],
+                                    "v": [2.5, 3.50001]})) != h
+    # 6dp float formatting: 2.5 vs 2.5000000001 collide (by design)
+    assert value_hash(pd.DataFrame({"x": [1, 2], "s": ["a", "b"],
+                                    "v": [2.5000000001, 3.5]})) == h
+    # dtype drift detected: ints rendered as float64 must NOT match
+    assert value_hash(pd.DataFrame({"x": [1.0, 2.0], "s": ["a", "b"],
+                                    "v": [2.5, 3.5]})) != h
