@@ -27,6 +27,14 @@ from __future__ import annotations
 import json
 import math
 
+try:  # optional fast path; byte format of data_json is NOT contractual
+    # (only the reconstructed media_ref must byte-match the corpus
+    # canonical form — see operators/reconstruct.py), so orjson's float
+    # notation differences are harmless here
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -376,6 +384,23 @@ def _encode(kind, coords):
     return wkb_multipolygon(arrs), "MULTIPOLYGON", (xs.min(), ys.min(), xs.max(), ys.max())
 
 
+if _orjson is not None:
+    def _dumps(obj) -> str:
+        try:
+            return _orjson.dumps(obj, option=_orjson.OPT_SORT_KEYS).decode()
+        except TypeError:  # exotic value types: defer to stdlib
+            return json.dumps(obj, ensure_ascii=False, sort_keys=True,
+                              separators=(",", ":"))
+
+    _loads = _orjson.loads
+else:  # pragma: no cover
+    def _dumps(obj) -> str:
+        return json.dumps(obj, ensure_ascii=False, sort_keys=True,
+                          separators=(",", ":"))
+
+    _loads = _loads
+
+
 def convert_entity(payload: dict):
     """One media payload -> dict of entity columns (None geometry on
     no-geometry types or converter failure; failure message in `error`).
@@ -425,7 +450,7 @@ def convert_entity(payload: dict):
         "ymin": bbox[1] if bbox else None,
         "xmax": bbox[2] if bbox else None,
         "ymax": bbox[3] if bbox else None,
-        "data_json": json.dumps(data, ensure_ascii=False, sort_keys=True, separators=(",", ":")),
+        "data_json": _dumps(data),
         "error": error,
     }
 
@@ -471,7 +496,7 @@ def _decode_batches(batches, emit_media_ref: bool = True):
         # than per-row dict scatter at 10^4-row Arrow batches)
         recs = []
         append = recs.append
-        loads = json.loads
+        loads = _loads
         for i in range(n):
             try:
                 payload = loads(refs[i])
@@ -504,7 +529,7 @@ def _decode_arrow_batches(batches, emit_media_ref: bool = True):
          pa.field("data_json", pa.string())]
         + ([pa.field("media_ref", pa.string())] if emit_media_ref else [])
         + [pa.field("error", pa.string())])
-    loads = json.loads
+    loads = _loads
     for batch in batches:
         n = batch.num_rows
         if n == 0:
