@@ -776,6 +776,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_elements")
     q["q_svg_previews"] = q_svg_previews
 
+    def q_bylayer_style(spark, sf_dir):  # ByLayer style snapshot fidelity
+        from dxf_postgis_converter_spark.corpus import layer_styles
+        from dxf_postgis_converter_spark.operators.styles import snapshot_layer_styles
+        st = snapshot_layer_styles(_media(spark, sf_dir), layer_styles(spark))
+        return st.groupBy("layer", "effective_color", "effective_linetype") \
+            .agg(F.count("*").alias("n"))
+    q["q_bylayer_style"] = q_bylayer_style
+
+    def q_content_sizes(spark, sf_dir):  # S10 content blob: A9 on real bytes
+        from dxf_postgis_converter_spark.sources.content import (
+            content_sizes, document_content,
+        )
+        return content_sizes(document_content(corpus_documents(spark, sf_dir)))
+    q["q_content_sizes"] = q_content_sizes
+
+    def q_layer_reconcile(spark, sf_dir):  # J8 layer-record reconciliation
+        from dxf_postgis_converter_spark.operators.layers import reconcile_layers
+        m = _media(spark, sf_dir)
+        legacy = F.length("name") % 2 != 0
+        existing = (m.filter(F.col("span_offset") % 2 == 0)
+                    .select("doc_id", F.col("layer").alias("name")).distinct()
+                    .select(
+                        "doc_id", "name",
+                        F.when(legacy, F.lit("cad_v1")).otherwise(F.lit("cad"))
+                        .alias("schema_name"),
+                        F.when(legacy, F.concat(F.lit("legacy_"), short_id(F.col("doc_id"))))
+                        .otherwise(table_name(F.col("doc_id"), F.col("name")))
+                        .alias("table_name")))
+        incoming = (m.filter(F.col("span_offset") % 3 == 0)
+                    .select("doc_id", F.col("layer").alias("name")).distinct()
+                    .select("doc_id", "name",
+                            F.lit("cad").alias("target_schema"),
+                            table_name(F.col("doc_id"), F.col("name")).alias("target_table")))
+        return reconcile_layers(existing, incoming)
+    q["q_layer_reconcile"] = q_layer_reconcile
+
     def q_adaptive_cell_stats(spark, sf_dir):  # skew: hot-cell adaptive split report
         pts = _media(spark, sf_dir).filter(F.col("geom_type") == "POINT").select(
             F.col("xmin").alias("x"), F.col("ymin").alias("y"), "handle")
@@ -1543,6 +1579,66 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
         FROM embeddings GROUP BY label
+    """
+
+    # ---------------- round-2 features: styles / content / layer records ----
+
+    from dxf_postgis_converter_spark.corpus import build_layer_styles
+
+    _styles_vals = ", ".join(
+        f"('{name}', {color}, '{lt}')"
+        for name, color, lt, _, _ in build_layer_styles())
+    o["q_bylayer_style"] = f"""
+        WITH styles(layer, layer_color, layer_linetype) AS (VALUES {_styles_vals}),
+        m AS (SELECT layer,
+                     CAST(json_extract(media_ref,'$.attributes.color') AS INT) AS color,
+                     json_extract_string(media_ref,'$.attributes.linetype') AS ltype
+              FROM ({_SQL_MEDIA}))
+        SELECT m.layer AS layer,
+               CASE WHEN color = 256 THEN s.layer_color ELSE color END AS effective_color,
+               CASE WHEN ltype = 'BYLAYER' THEN s.layer_linetype ELSE ltype END
+                 AS effective_linetype,
+               COUNT(*) AS n
+        FROM m LEFT JOIN styles s ON m.layer = s.layer
+        GROUP BY 1, 2, 3
+    """
+
+    o["q_content_sizes"] = f"""
+        SELECT doc_id,
+               CAST(SUM(strlen(s.kind) + strlen(s.text) + strlen(s.media_ref)
+                        + strlen(CAST(s.offset AS VARCHAR)) + 4) AS INT) AS content_bytes
+        FROM (SELECT doc_id, unnest(spans) AS s FROM {DOCS_PQ}) GROUP BY doc_id
+    """
+
+    _new_tbl = ("'l' || substring(replace(doc_id, '-', ''), 1, 6) || '_' || "
+                + _sanitize_sql("name"))
+    _legacy_tbl = "'legacy_' || substring(replace(doc_id, '-', ''), 1, 6)"
+    o["q_layer_reconcile"] = f"""
+        WITH e AS (
+          SELECT doc_id, name,
+                 CASE WHEN length(name) % 2 != 0 THEN 'cad_v1' ELSE 'cad' END AS schema_name,
+                 CASE WHEN length(name) % 2 != 0 THEN {_legacy_tbl}
+                      ELSE {_new_tbl} END AS table_name
+          FROM (SELECT DISTINCT doc_id, layer AS name FROM ({_SQL_MEDIA})
+                WHERE span_offset % 2 = 0)),
+        i AS (
+          SELECT doc_id, name, 'cad' AS target_schema, {_new_tbl} AS target_table
+          FROM (SELECT DISTINCT doc_id, layer AS name FROM ({_SQL_MEDIA})
+                WHERE span_offset % 3 = 0))
+        SELECT COALESCE(e.doc_id, i.doc_id) AS doc_id,
+               COALESCE(e.name, i.name) AS name,
+               COALESCE(i.target_schema, e.schema_name) AS schema_name,
+               COALESCE(i.target_table, e.table_name) AS table_name,
+               CASE WHEN e.table_name IS NULL THEN 'created'
+                    WHEN i.target_table IS NULL THEN 'untouched'
+                    WHEN e.schema_name = i.target_schema AND e.table_name = i.target_table
+                         THEN 'kept'
+                    ELSE 'moved' END AS action,
+               CASE WHEN e.table_name IS NOT NULL AND i.target_table IS NOT NULL
+                         AND NOT (e.schema_name = i.target_schema
+                                  AND e.table_name = i.target_table)
+                    THEN e.schema_name || '.' || e.table_name END AS renamed_from
+        FROM e FULL OUTER JOIN i ON e.doc_id = i.doc_id AND e.name = i.name
     """
 
     # ---------------- formerly rows-only operators (round 2) ----------------

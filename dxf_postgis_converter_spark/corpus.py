@@ -286,6 +286,37 @@ def generate_documents(spark: SparkSession, n_docs: int, num_partitions: int | N
 
 
 # ---------------------------------------------------------------------------
+# layer styles — the TABLES-section analogue (ByLayer style fidelity)
+# ---------------------------------------------------------------------------
+
+LINETYPES = ["CONTINUOUS", "DASHED", "DOTTED", "DASHDOT", "CENTER"]
+
+LAYER_STYLES_SCHEMA = ("layer string, layer_color int, layer_linetype string, "
+                       "layer_lineweight int, layer_plot boolean")
+
+
+def build_layer_styles() -> list[tuple]:
+    """Deterministic per-layer style records — the DXF TABLES-section
+    analogue the reference snapshots into each entity so ByLayer
+    rendering survives reconstruction (dxf_reader.py:118-144
+    layer_dxf_attribs; asserted by test_integration.py:915-954).
+    Pure function of the LAYERS list: ACI color 1..255, a linetype from
+    the fixed cycle, a lineweight step, a plot flag."""
+    return [
+        (name,
+         (i * 37) % 255 + 1,
+         LINETYPES[i % len(LINETYPES)],
+         (i % 6) * 5 + 13,
+         bool(i % 4))
+        for i, name in enumerate(LAYERS)
+    ]
+
+
+def layer_styles(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(build_layer_styles(), LAYER_STYLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # zones — polygon side for PIP joins (FIXTURES.md §3)
 # ---------------------------------------------------------------------------
 
