@@ -51,21 +51,38 @@ def _spans_from_dxf(content: bytes, filename: str) -> list[dict]:
             "(dxf_postgis_converter_spark.corpus)")
     import io
 
+    from .extractors import base_attributes, extract_geometries
+
     doc = ezdxf.read(io.StringIO(content.decode("utf-8", "replace")))
+    # layer style table for the ByLayer snapshot (dxf_reader.py:118-144)
+    layer_styles = {}
+    for layer in doc.layers:
+        layer_styles[layer.dxf.name] = {
+            k: getattr(layer.dxf, k, None)
+            for k in ("color", "linetype", "lineweight", "plot",
+                      "true_color", "transparency", "ltscale")}
     spans = []
     for off, e in enumerate(doc.modelspace()):
         etype = e.dxftype()
-        geoms = {}  # per-type extraction mirrors dxf_reader.py:148-186
-        if etype == "POINT":
-            loc = e.dxf.location
-            geoms = {"location": [loc.x, loc.y, loc.z]}
-        elif etype == "LINE":
-            s, t = e.dxf.start, e.dxf.end
-            geoms = {"start": [s.x, s.y, s.z], "end": [t.x, t.y, t.z]}
-        # further types delegate to the same schemas used by corpus.py
+        # snapshot the dxf attribute namespace into a plain dict and run
+        # the pure extraction rules (sources/extractors.py — the single
+        # golden-tested source of truth for dxf_reader.py:89-720 parity)
+        snapshot = dict(e.dxfattribs())
+        for extra_field in ("points", "vertices", "control_points", "knots",
+                            "paths", "attribs"):
+            if hasattr(e, extra_field):
+                try:
+                    v = getattr(e, extra_field)
+                    snapshot[extra_field] = list(v() if callable(v) else v)
+                except Exception:
+                    pass
+        geoms = extract_geometries(etype, snapshot)
+        attributes, extra = base_attributes(dict(e.dxfattribs()), etype, layer_styles)
+        extra = {"dxftype": etype, "layer_name": e.dxf.layer,
+                 **{k: v for k, v in extra.items() if k.startswith("layer_dxf")}}
         ref = canonical_media_ref(
             etype, f"{etype}_{off}", e.dxf.handle or f"{off:x}",
-            e.dxf.layer, {}, geoms, {"dxftype": etype, "layer_name": e.dxf.layer})
+            e.dxf.layer, attributes, geoms, extra)
         spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
     return spans
 
