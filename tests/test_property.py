@@ -7,6 +7,11 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# this box runs the suite alongside Spark JVMs; wall-clock deadlines are
+# load-dependent noise, not correctness signal
+settings.register_profile("noisy_box", deadline=None)
+settings.load_profile("noisy_box")
+
 from dxf_postgis_converter_spark.geometry.predicates import points_in_polygon
 from dxf_postgis_converter_spark.geometry.wkb import (
     parse_wkb,
