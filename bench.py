@@ -105,12 +105,14 @@ def main() -> None:
     timed("knn_join", lambda: _force(
         knn_join(probes, all_pts, k=5, res=7)))
 
-    # stage 6 — round-trip reconstruction sink (entities → span arrays)
+    # stage 6 — round-trip reconstruction sink (entities → span arrays),
+    # reading the STORED entities table (data_json is the DB-row analogue;
+    # the reference likewise rebuilds from rows, dxf_writer.py:53-192) —
+    # re-decoding the source here would double-count stage 1
     from dxf_postgis_converter_spark.functions.decode import text_spans
     from dxf_postgis_converter_spark.operators.reconstruct import reconstruct_documents
-    ents_ref = decode_documents(docs)  # reconstruction needs data_json (full decode)
     timed("reconstruct", lambda: _force(
-        reconstruct_documents(ents_ref, text_spans(docs))))
+        reconstruct_documents(ents, text_spans(docs))))
 
     # training-data headliners on the driver testdata tables
     tdocs = load_table(spark, SF_DIR, "documents")

@@ -162,15 +162,30 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    base = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
+    # CPU-heavy stage on byte-light input: a few MB of text explodes into
+    # num_hashes × grams hash evaluations, so a small-file scan (one
+    # partition) would serialize the whole signature computation on one
+    # core. Raise the parallelism floor on the RAW text (before any gram
+    # work, so the expensive expressions run post-shuffle on all cores);
+    # at real scale the scan already has >= defaultParallelism splits and
+    # this is a no-op.
+    src = docs.select(F.col(id_col), F.col(text_col))
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want, F.col(id_col))
+    base = src.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
     # signatures via explode + hash-aggregate: one physical sig row per doc
     # (map-side partial min makes the shuffle one 64-long row per doc).
     # This materialization barrier matters: a pure-expression sig column
     # gets inlined by projection collapse into the per-band bucket hash
     # below and re-evaluated bands× per row (measured 32x slower).
-    eg = base.select(id_col, F.explode("_grams").alias("_g"))
+    # Each gram string is hashed ONCE (xxhash64 over bytes); the k-family
+    # values then hash the fixed-width (k, gram_hash) pair — 64 short
+    # integer hashes instead of 64 string hashes per gram.
+    eg = base.select(id_col, F.explode("_grams").alias("_g")) \
+        .select(id_col, F.xxhash64("_g").alias("_gh"))
     sig = (eg.groupBy(id_col)
-           .agg(*[F.min(F.xxhash64(F.lit(k), "_g")).alias(f"_h{k}")
+           .agg(*[F.min(F.xxhash64(F.lit(k), "_gh")).alias(f"_h{k}")
                   for k in range(num_hashes)])
            .select(F.col(id_col), F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig")))
     sig = sig.withColumn("_band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
@@ -217,7 +232,11 @@ def ngram_jaccard_pairs(
     full arrays, so the cap can only lose pairs whose EVERY shared gram
     is a stop-gram — impossible above threshold 0.5 unless the docs are
     boilerplate by definition."""
-    base = docs.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
+    src = docs.select(F.col(id_col), F.col(text_col))
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:  # small-file scan: see minhash note
+        src = src.repartition(want, F.col(id_col))
+    base = src.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
     e = base.select(id_col, F.explode("_grams").alias("_g"))
     df_cap = e.groupBy("_g").count().filter(F.col("count") > max_gram_df).drop("count")
     e = e.join(F.broadcast(df_cap), "_g", "left_anti")
