@@ -670,6 +670,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.8)
     q["q_ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
 
+    def q_dedup_groups(spark, sf_dir):  # near-dup pairs → connected components
+        from dxf_postgis_converter_spark.operators.components import dedup_groups
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing edit")).alias("text"))
+        pairs = minhash_lsh_pairs(d.unionByName(dups), jaccard_threshold=0.6)
+        return dedup_groups(pairs)
+    q["q_dedup_groups"] = q_dedup_groups
+
     def q_embedding_neardup_lsh(spark, sf_dir):  # scale path: LSH buckets + verify
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
@@ -1649,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
     # per-pair LSH recall at bands=32/r=2 is 1-3e-16 — see minhash_lsh_pairs)
     o["q_minhash_pairs"] = _gram_jaccard_sql(10, " trailing edit", 0.6)
     o["q_ngram_jaccard_pairs"] = _gram_jaccard_sql(20, "", 0.8)
+
+    # connected components over the same pair graph: component = min
+    # reachable id, expressed as a recursive transitive closure (UNION
+    # dedups, so cycles terminate — the SQL twin of min-label propagation)
+    o["q_dedup_groups"] = f"""
+        WITH RECURSIVE p AS ({_gram_jaccard_sql(10, " trailing edit", 0.6)}),
+        edges(s, d) AS (
+          SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.s, r.r FROM edges e JOIN reach r ON r.id = e.d)
+        SELECT id AS doc_id, MIN(r) AS group_id,
+               id = MIN(r) AS is_survivor
+        FROM reach GROUP BY id
+    """
 
     o["q_simhash_pairs"] = _values_sql(
         replicas.simhash_pairs(_testdata_docs(with_suffix=".")),

@@ -52,8 +52,12 @@ def _force(df):
 
 def main() -> None:
     sf = sf_of_dir(SF_DIR)
+    # the spatial corpus can be scaled independently of the testdata tables
+    # (SPARK_GRAFT_CORPUS_SF) so scaling runs can use a larger input that
+    # amortizes fixed per-stage costs without needing bigger testdata
+    corpus_sf = float(os.environ.get("SPARK_GRAFT_CORPUS_SF", "0") or sf)
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
-    corpus = ensure_corpus(spark, sf)  # untimed: one-time data generation
+    corpus = ensure_corpus(spark, corpus_sf)  # untimed: one-time data generation
     docs = spark.read.parquet(os.path.join(corpus, "documents"))
     zones = spark.read.parquet(os.path.join(corpus, "zones"))
     n_docs = docs.count()  # warm the FS cache / JVM before timing
@@ -133,7 +137,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": sf,
+        "sf": corpus_sf,
         "n_docs": n_docs,
         "n_geoms": n_geoms,
         "docs_per_sec": round(n_docs / spatial_sec, 1),
