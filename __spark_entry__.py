@@ -630,6 +630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_color_dist"] = q_text_color_dist
 
     def q_embedding_neardup(spark, sf_dir):  # exact cosine near-dup pairs
+        # brute_force is the SEMANTICS here, not a shortcut: at threshold
+        # 0.4 the qualifying pairs are in the random-vector tail (measured
+        # cosine band 0.4-0.55), where no LSH scheme reaches recall 1 —
+        # "all pairs >= t" with low t is inherently quadratic. The scale
+        # path (LSH buckets + exact verify, recall<1 by design) is
+        # registered separately as q_embedding_neardup_lsh.
         e = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         return embedding_neardup_pairs(e, threshold=0.4, brute_force=True)
