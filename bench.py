@@ -74,8 +74,20 @@ def main() -> None:
     # stage 1 — decode: spans → entities table (the Arrow-batched UDF path);
     # media_ref is reconstructable from data_json (operators/reconstruct.py)
     # so the persisted entities table doesn't carry the second JSON copy
-    timed("decode", lambda: decode_documents(docs, keep_media_ref=False)
-          .write.mode("overwrite").parquet(ents_path))
+    # BENCH_DECODE_SINK=noop times decode compute without the parquet
+    # write: on ONE box every local[n] level funnels through the same
+    # single local disk, so the write is a parallelism-independent
+    # constant that caps measured scaling — a hardware artifact a real
+    # cluster (per-executor writes to distributed storage) doesn't have.
+    # The table is still written (untimed) for the downstream stages;
+    # the default headline bench keeps the write inside the timing.
+    if os.environ.get("BENCH_DECODE_SINK") == "noop":
+        timed("decode", lambda: _force(decode_documents(docs, keep_media_ref=False)))
+        decode_documents(docs, keep_media_ref=False) \
+            .write.mode("overwrite").parquet(ents_path)
+    else:
+        timed("decode", lambda: decode_documents(docs, keep_media_ref=False)
+              .write.mode("overwrite").parquet(ents_path))
     ents = spark.read.parquet(ents_path)
     n_geoms = ents.filter(F.col("geometry_wkb").isNotNull()).count()
 

@@ -95,6 +95,16 @@ def knn_join(
             # same target can surface via several ring cells only at the
             # clipped border — k_ring dedups, so pairs are unique
         )
+        # two-level top-k: prune to the k nearest per (probe, cell) first —
+        # the global top-k is a subset of the per-cell top-ks, and the
+        # count test below survives (sum(min(c_i, k)) >= k iff sum(c_i)
+        # >= k). In dense CAD-sheet cells this cuts the per-probe window
+        # input from cells x cell_population to cells x k and moves the
+        # big sort into finer, skew-free (probe, cell) partitions.
+        w_cell = Window.partitionBy(probe_id_col, "cell") \
+            .orderBy(F.col("dist"), F.col(target_id_col))
+        cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
+            .filter(F.col("_cr") <= k).drop("_cr")
         w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
         ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         safe = float(r) * size
