@@ -883,6 +883,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_duplicates(d).select("fp", "n_dups", "keep_id")
     q["q_exact_dup_groups"] = q_exact_dup_groups
 
+    def q_stratified_sample(spark, sf_dir):  # deterministic n-per-stratum sample
+        from dxf_postgis_converter_spark.operators.sampling import stratified_sample
+        d = load_table(spark, sf_dir, "documents")
+        return stratified_sample(d, "source", 5).select("doc_id", "source")
+    q["q_stratified_sample"] = q_stratified_sample
+
+    def q_pack_sequences(spark, sf_dir):  # concat-and-chunk LLM sequence packing
+        from dxf_postgis_converter_spark.operators.sampling import pack_sequences
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", token_count(F.col("text")).alias("tok"))
+        return pack_sequences(d, "tok", budget=2048)
+    q["q_pack_sequences"] = q_pack_sequences
+
     # ---------------- embeddings: similarity ----------------
 
     def q_ann_topk(spark, sf_dir):
@@ -1569,6 +1582,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_units
         FROM documents GROUP BY source
+    """
+
+    o["q_stratified_sample"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 5
+    """
+
+    o["q_pack_sequences"] = f"""
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(start_tok / 2048) AS BIGINT) AS seq_id,
+               CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+        FROM (
+          SELECT doc_id, source, {_TOKC_SQL} AS n_tokens,
+                 COALESCE(SUM({_TOKC_SQL}) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+          FROM documents)
     """
 
     o["q_exact_dup_groups"] = f"""
