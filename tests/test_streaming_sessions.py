@@ -67,3 +67,71 @@ def test_stream_matches_batch(spark, small_events, tmp_path_factory):
     want = sessionize_batch(small_events, gap_min=gap).collect()
     key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+class _FakeState:
+    """Minimal GroupState stub for unit-testing _session_fn logic."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _run_batch(fn, state, rows):
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return list(fn((1,), iter([pdf]), state))
+
+
+def test_stream_late_event_extends_session_backwards():
+    """A late-but-valid event in a later micro-batch with ts < the open
+    session's start must move session_start earlier (batch-twin parity)."""
+    from dxf_postgis_converter_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(30)
+    st = _FakeState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _run_batch(fn, st, [(base + dt.timedelta(minutes=10), 1.0),
+                        (base + dt.timedelta(minutes=20), 2.0)])
+    assert st.get[0] == base + dt.timedelta(minutes=10)
+    # batch 2: event BEFORE the open session start, within the gap
+    _run_batch(fn, st, [(base + dt.timedelta(minutes=5), 4.0)])
+    start, end, n, total = st.get
+    assert start == base + dt.timedelta(minutes=5)   # extended backwards
+    assert end == base + dt.timedelta(minutes=20)
+    assert n == 3 and total == 7.0
+
+
+def test_stream_late_event_outside_gap_is_own_session():
+    from dxf_postgis_converter_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(30)
+    st = _FakeState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _run_batch(fn, st, [(base, 1.0)])
+    # 2 hours earlier than the open session: emitted as its own session
+    out = _run_batch(fn, st, [(base - dt.timedelta(hours=2), 5.0)])
+    emitted = out[0]
+    assert len(emitted) == 1
+    r = emitted.iloc[0]
+    assert r["n_events"] == 1 and r["total_value"] == 5.0
+    assert st.get[0] == base  # open session untouched
