@@ -55,7 +55,7 @@ def main() -> None:
     # the spatial corpus can be scaled independently of the testdata tables
     # (SPARK_GRAFT_CORPUS_SF) so scaling runs can use a larger input that
     # amortizes fixed per-stage costs without needing bigger testdata
-    corpus_sf = float(os.environ.get("SPARK_GRAFT_CORPUS_SF", "0") or sf)
+    corpus_sf = float(os.environ.get("SPARK_GRAFT_CORPUS_SF") or sf)
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     corpus = ensure_corpus(spark, corpus_sf)  # untimed: one-time data generation
     docs = spark.read.parquet(os.path.join(corpus, "documents"))
@@ -118,8 +118,10 @@ def main() -> None:
     # stage 5 — kNN join: 2k probe points vs all points, k=5
     all_pts = pts.select(F.col("handle").alias("target_id"), "x", "y")
     probes = pts.limit(2000).select(F.col("handle").alias("probe_id"), "x", "y")
+    # fine_res=11 is the dense-CAD-sheet fast path: hot res-7 cells hold
+    # 10^5 points at sf>=0.4 and would make the candidate join quadratic
     timed("knn_join", lambda: _force(
-        knn_join(probes, all_pts, k=5, res=7)))
+        knn_join(probes, all_pts, k=5, res=7, fine_res=11)))
 
     # stage 6 — round-trip reconstruction sink (entities → span arrays),
     # reading the STORED entities table (data_json is the DB-row analogue;

@@ -11,9 +11,20 @@ For each probe point, the k nearest target points. Algorithm (SURVEY §4.3
   unresolved probes re-enter with doubled r; once the ring covers the whole
   grid every probe resolves (guaranteed termination when ≥k targets exist).
 
+Skew (the north-star "dense CAD sheet" case): one coarse cell holding
+10^5+ targets makes the candidate join itself quadratic for probes in
+that cell — no post-join pruning can help because the join OUTPUT is the
+cost. The fix is a multi-resolution schedule (`fine_res`): the first
+rounds run the same ring expansion at a finer grid, where hot-area
+probes resolve against small fine cells (cells × k candidates instead of
+cells × 10^5); sparse-area probes simply fail the count test cheaply and
+fall through to the coarse rounds. Each round's safe-radius proof is
+independent of resolution, so exactness is preserved.
+
 All candidate generation is JVM column arithmetic (k_ring is sequence/
-transform algebra); ranking is one row_number window per round — the
-engine's only analytic window op (SURVEY §2.6).
+transform algebra); ranking is a per-(probe, cell) top-k prune (the
+global top-k is a subset of per-cell top-ks) followed by one row_number
+window per round — the engine's only analytic window op (SURVEY §2.6).
 """
 
 from __future__ import annotations
@@ -34,18 +45,19 @@ def knn_join(
     x_col: str = "x",
     y_col: str = "y",
     max_rounds: int = 12,
+    fine_res: int | None = None,
 ) -> DataFrame:
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
-    target_id for determinism.
-    """
-    size = cell_size(res)
+    target_id for determinism. fine_res (> res) prepends two rounds at a
+    finer grid — the dense-cell fast path (see module doc)."""
+    levels = sorted({res} | ({fine_res} if fine_res else set()), reverse=True)
     t = targets.select(
         F.col(target_id_col),
         F.col(x_col).alias("t_x"),
         F.col(y_col).alias("t_y"),
-        cell_col(F.col(x_col), F.col(y_col), res).alias("cell"),
+        *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"cell_{ri}") for ri in levels],
     )
     # targets are reused every round — materialize once
     t = t.persist()
@@ -55,23 +67,34 @@ def knn_join(
         F.col(probe_id_col),
         F.col(x_col).alias("p_x"),
         F.col(y_col).alias("p_y"),
-        cell_col(F.col(x_col), F.col(y_col), res).alias("p_cell"),
+        *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"p_cell_{ri}") for ri in levels],
     ).persist()
 
+    def schedule():
+        if fine_res:
+            yield fine_res, 1
+            yield fine_res, 2
+        r = 1
+        while True:
+            yield res, r
+            r *= 2
+
     results = None
-    r = 1
-    grid_n = 1 << res
     # beyond this ring radius the (2r+1)^2 cell explosion costs more than
     # just scanning all targets for the (by then few) unresolved probes —
     # the fallback is exact and bounds the worst case on sparse targets
     max_ring = 32
-    for _ in range(max_rounds):
-        if unresolved.isEmpty():
+    rounds = 0
+    for res_i, r in schedule():
+        if rounds >= max_rounds or unresolved.isEmpty():
             break
-        if r > max_ring and r < grid_n:
+        rounds += 1
+        size_i = cell_size(res_i)
+        grid_n = 1 << res_i
+        if res_i == res and r > max_ring and r < grid_n:
             w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
             rest = (
-                unresolved.crossJoin(t.drop("cell"))
+                unresolved.crossJoin(t.select(target_id_col, "t_x", "t_y"))
                 .withColumn("dist", F.sqrt((F.col("p_x") - F.col("t_x")) ** 2
                                            + (F.col("p_y") - F.col("t_y")) ** 2))
                 .withColumn("rank", F.row_number().over(w))
@@ -86,8 +109,9 @@ def knn_join(
             break
         cand = (
             unresolved
-            .withColumn("cell", F.explode(k_ring_col(F.col("p_cell"), r)))
-            .join(t, "cell", "inner")
+            .withColumn("cell", F.explode(k_ring_col(F.col(f"p_cell_{res_i}"), r)))
+            .join(t.select(target_id_col, "t_x", "t_y",
+                           F.col(f"cell_{res_i}").alias("cell")), "cell", "inner")
             .withColumn(
                 "dist",
                 F.sqrt((F.col("p_x") - F.col("t_x")) ** 2 + (F.col("p_y") - F.col("t_y")) ** 2),
@@ -98,16 +122,15 @@ def knn_join(
         # two-level top-k: prune to the k nearest per (probe, cell) first —
         # the global top-k is a subset of the per-cell top-ks, and the
         # count test below survives (sum(min(c_i, k)) >= k iff sum(c_i)
-        # >= k). In dense CAD-sheet cells this cuts the per-probe window
-        # input from cells x cell_population to cells x k and moves the
-        # big sort into finer, skew-free (probe, cell) partitions.
+        # >= k). This moves the big sort into finer, skew-free
+        # (probe, cell) partitions and caps the final window input.
         w_cell = Window.partitionBy(probe_id_col, "cell") \
             .orderBy(F.col("dist"), F.col(target_id_col))
         cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
             .filter(F.col("_cr") <= k).drop("_cr")
         w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
         ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        safe = float(r) * size
+        safe = float(r) * size_i
         full_ring = r >= grid_n  # ring covers the whole grid: all exact
         per_probe = ranked.groupBy(probe_id_col).agg(
             F.count("*").alias("n_cand"), F.max("dist").alias("kth_dist"))
@@ -120,8 +143,7 @@ def knn_join(
         done.count()
         results = done if results is None else results.unionByName(done)
         unresolved = unresolved.join(done_ids, probe_id_col, "left_anti").persist()
-        if full_ring:
+        if res_i == res and full_ring:
             break
-        r *= 2
     return results if results is not None else probes.sparkSession.createDataFrame(
         [], schema=f"{probe_id_col} string, {target_id_col} string, dist double, rank int")
