@@ -779,6 +779,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_frames"))
     q["q_frame_sample"] = q_frame_sample
 
+    def q_audio_stats(spark, sf_dir):  # multimodal: pcm16 stats over binary payloads
+        from dxf_postgis_converter_spark.functions.multimodal import audio_stats
+        return audio_stats(synthetic_assets(spark, 90))
+    q["q_audio_stats"] = q_audio_stats
+
+    def q_layer_fingerprints(spark, sf_dir):  # the reference round-trip oracle
+        # (test_integration.py:438-461): per-layer multiset of
+        # (dxftype | sorted geometry keys | key count)
+        from dxf_postgis_converter_spark.operators.reconstruct import layer_fingerprints
+        return layer_fingerprints(_media(spark, sf_dir))
+    q["q_layer_fingerprints"] = q_layer_fingerprints
+
     def q_svg_previews(spark, sf_dir):  # S13 SVG preview sink (per-doc render)
         # element counts are PARSED FROM the rendered SVG string, proving
         # the render actually contains one mark per geometry — and they are
@@ -1737,6 +1749,24 @@ def oracle_sql() -> dict[str, str]:
     o["q_embedding_neardup_lsh"] = _values_sql(
         replicas.embedding_neardup_lsh(_emb, threshold=0.4, n_planes=12),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")])
+
+    o["q_audio_stats"] = _values_sql(
+        replicas.audio_stat_rows(90),
+        [("asset_id", "VARCHAR"), ("n_samples", "BIGINT"), ("rms", "DOUBLE")])
+
+    # stub-type payloads omit the geometries key in the source ref; decode
+    # normalizes to {} (postgis_entity_converter.py to_db does the same)
+    _gkeys = ("json_keys(COALESCE(json_extract(media_ref, '$.geometries'), "
+              "CAST('{}' AS JSON)))")
+    o["q_layer_fingerprints"] = f"""
+        SELECT layer,
+               entity_type || '|'
+               || COALESCE(array_to_string(list_sort({_gkeys}), ','), '')
+               || '|' || CAST(len({_gkeys}) AS VARCHAR) AS fingerprint,
+               COUNT(*) AS n
+        FROM ({_SQL_MEDIA})
+        GROUP BY 1, 2
+    """
 
     o["q_image_features_sample"] = _values_sql(
         replicas.image_feature_rows(90),

@@ -302,6 +302,23 @@ def image_feature_rows(n: int, dim: int = 64, seed: int = 42):
     return out
 
 
+def audio_stat_rows(n: int, seed: int = 42):
+    """(asset_id, n_samples, rms) per audio asset: payload bytes as
+    little-endian pcm16, rms = sqrt(mean(x^2)) rounded 6dp (numpy mean,
+    matching the operator's documented arithmetic)."""
+    import numpy as np
+    out = []
+    for i in range(n):
+        kind, payload, _, _, _ = synthetic_asset_meta(i, seed)
+        if kind != "audio":
+            continue
+        buf = payload[: len(payload) // 2 * 2]
+        samples = np.frombuffer(buf, dtype=np.int16).astype(np.float64)
+        rms = float(np.sqrt((samples ** 2).mean())) if len(samples) else 0.0
+        out.append((f"asset_{i:08d}", len(samples), round(rms, 6)))
+    return out
+
+
 def frame_count_rows(n: int, every_ms: int = 1000, seed: int = 42):
     """(asset_id, n_frames) per video asset: |sequence(0, dur-1, step)|."""
     out = []
