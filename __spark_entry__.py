@@ -422,6 +422,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return point_in_polygon_join(pts, zones, res=6).select("doc_id", "handle", "zone_id")
     q["q_pip_rect_zones"] = q_pip_rect_zones
 
+    def q_pip_stream(spark, sf_dir):  # streaming decode→PIP, batch-equal
+        import tempfile
+
+        from dxf_postgis_converter_spark.streaming.pipeline import (
+            read_document_stream, streaming_zone_hits,
+        )
+        src = tempfile.mkdtemp(prefix="doc_stream_src_")
+        ck = tempfile.mkdtemp(prefix="doc_stream_ck_")
+        corpus_documents(spark, sf_dir).write.mode("overwrite").parquet(src)
+        zones = corpus_zones(spark, sf_dir).filter(F.col("kind") == "rect")
+        hits = streaming_zone_hits(
+            read_document_stream(spark, src, max_files_per_trigger=2), zones)
+        (hits.select("doc_id", "handle", "zone_id")
+         .writeStream.format("memory").queryName("q_pip_stream_sink")
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start().awaitTermination())
+        return spark.table("q_pip_stream_sink")
+    q["q_pip_stream"] = q_pip_stream
+
     def q_selection_cascade(spark, sf_dir):  # P4: select layer → children selected
         from dxf_postgis_converter_spark.operators.area_selection import cascade_selection_down
         ents = _media(spark, sf_dir)
@@ -1112,6 +1131,30 @@ def oracle_sql() -> dict[str, str]:
                  CAST(FLOOR(x / 256.0) AS BIGINT) AS tx,
                  CAST(FLOOR(y / 256.0) AS BIGINT) AS ty
           FROM ({_SQL_POINTS}))
+    """
+
+    # the drained stream must equal the batch join exactly. The stream
+    # pipeline keeps every point-KIND geometry (geom_type == POINT), so
+    # the oracle anchors each point-kind entity type at its insert/
+    # location/center/base_point field (same pattern as the
+    # q_adaptive_cell_stats oracle).
+    o["q_pip_stream"] = f"""
+        SELECT p.doc_id AS doc_id, p.handle AS handle, z.zone_id AS zone_id
+        FROM (
+          SELECT doc_id, handle,
+                 CAST(COALESCE(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.insert[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.center[0]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.base_point[0]')) AS DOUBLE) AS x,
+                 CAST(COALESCE(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.insert[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.center[1]'),
+                               json_extract(NULLIF(media_ref,''),'$.geometries.base_point[1]')) AS DOUBLE) AS y
+          FROM ({_SQL_MEDIA})
+          WHERE entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT','SHAPE',
+                                'VIEWPORT','IMAGE','MULTILEADER')) p
+        JOIN (SELECT zone_id, xmin, ymin, xmax, ymax FROM {ZONES_PQ} WHERE kind = 'rect') z
+          ON p.x BETWEEN z.xmin AND z.xmax AND p.y BETWEEN z.ymin AND z.ymax
     """
 
     o["q_pip_rect_zones"] = f"""
