@@ -118,10 +118,11 @@ def main() -> None:
     # stage 5 — kNN join: 2k probe points vs all points, k=5
     all_pts = pts.select(F.col("handle").alias("target_id"), "x", "y")
     probes = pts.limit(2000).select(F.col("handle").alias("probe_id"), "x", "y")
-    # fine_res=11 is the dense-CAD-sheet fast path: hot res-7 cells hold
-    # 10^5 points at sf>=0.4 and would make the candidate join quadratic
+    # fine_res="auto" (default) probes hot-cell density and switches to
+    # the multi-resolution schedule only when a dense CAD sheet would
+    # otherwise make the candidate join quadratic (10^5-point cells)
     timed("knn_join", lambda: _force(
-        knn_join(probes, all_pts, k=5, res=7, fine_res=11)))
+        knn_join(probes, all_pts, k=5, res=7)))
 
     # stage 6 — round-trip reconstruction sink (entities → span arrays),
     # reading the STORED entities table (data_json is the DB-row analogue;

