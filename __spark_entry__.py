@@ -771,6 +771,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessionize_batch(e, gap_min=30)
     q["q_sessionize"] = q_sessionize
 
+    def q_lineage_resume(spark, sf_dir):  # §2.9 checkpointed stage + idempotent resume
+        import tempfile
+
+        from dxf_postgis_converter_spark.plans.lineage import LineageLog, run_stage
+        docs = corpus_documents(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="lineage_q_")
+        kwargs = dict(
+            stage="decode", snapshot_id="snap1", source=docs,
+            transform=lambda d: decode_documents(d, keep_media_ref=False),
+            out_dir=os.path.join(work, "out"),
+            lineage=LineageLog(os.path.join(work, "log")), n_buckets=16)
+        r1 = run_stage(spark, **kwargs)
+        r2 = run_stage(spark, **kwargs)  # resume: every bucket must be skipped
+        return spark.createDataFrame(
+            [("decode", r1["processed_buckets"], r1["rows"],
+              r2["processed_buckets"], r2["skipped_buckets"],
+              bool(r1["complete"] and r2["complete"]))],
+            "stage string, first_run_buckets int, first_run_rows bigint, "
+            "resume_processed int, resume_skipped int, complete boolean")
+    q["q_lineage_resume"] = q_lineage_resume
+
     def q_geom_type_dist(spark, sf_dir):  # P7 + global C1-C29 geometry-kind parity
         return (_media(spark, sf_dir)
                 .groupBy("geom_type", "entity_type").agg(F.count("*").alias("n")))
@@ -1551,6 +1572,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_SQL_POINTS})
         WHERE FLOOR(x / 128.0) BETWEEN 10 AND 20
           AND FLOOR(y / 128.0) BETWEEN 10 AND 20
+    """
+
+    # resume contract: first run lands every media span across 16 buckets;
+    # the immediate re-run processes nothing and skips all 16
+    o["q_lineage_resume"] = f"""
+        SELECT 'decode' AS stage, 16 AS first_run_buckets,
+               (SELECT COUNT(*) FROM ({_SQL_MEDIA})) AS first_run_rows,
+               0 AS resume_processed, 16 AS resume_skipped, TRUE AS complete
     """
 
     # gaps-and-islands: new session when the lag gap exceeds 30 min
