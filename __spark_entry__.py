@@ -819,6 +819,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_frames"))
     q["q_frame_sample"] = q_frame_sample
 
+    def q_resize_images(spark, sf_dir):  # multimodal: decode→resize→re-emit bytes
+        from dxf_postgis_converter_spark.functions.multimodal import resize_images
+        out = resize_images(synthetic_assets(spark, 90), out_w=32, out_h=24)
+        return out.select("asset_id", "width", "height",
+                          F.md5("payload").alias("payload_md5"))
+    q["q_resize_images"] = q_resize_images
+
+    def q_clean_funnel(spark, sf_dir):  # composed cleaning pipeline per source
+        d = load_table(spark, sf_dir, "documents")
+        kept = dedup_exact(d).filter(
+            (quality_score(F.col("text")) >= 0.7) & (lang_id(F.col("text")) == "en"))
+        return kept.groupBy("source").agg(
+            F.count("*").alias("n_kept"),
+            F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+    q["q_clean_funnel"] = q_clean_funnel
+
     def q_audio_stats(spark, sf_dir):  # multimodal: pcm16 stats over binary payloads
         from dxf_postgis_converter_spark.functions.multimodal import audio_stats
         return audio_stats(synthetic_assets(spark, 90))
@@ -1821,6 +1837,39 @@ def oracle_sql() -> dict[str, str]:
     o["q_embedding_neardup_lsh"] = _values_sql(
         replicas.embedding_neardup_lsh(_emb, threshold=0.4, n_planes=12),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")])
+
+    o["q_resize_images"] = _values_sql(
+        replicas.resized_image_rows(90, 32, 24),
+        [("asset_id", "VARCHAR"), ("width", "INTEGER"),
+         ("height", "INTEGER"), ("payload_md5", "VARCHAR")])
+
+    # cleaning funnel: exact-dedup survivors (min doc per fingerprint)
+    # that clear the quality and language gates, rolled up per source
+    o["q_clean_funnel"] = f"""
+        WITH kept AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        scored AS (
+          SELECT source, text FROM kept
+          WHERE ROUND(
+            0.4 * (CASE WHEN length(text) < 10 THEN length(text) / 10.0
+                        WHEN length(text) > 5000 THEN 0.2 ELSE 1.0 END)
+          + 0.3 * (CASE WHEN (CASE WHEN {_TOKC_SQL} = 0 THEN 0.0
+                              ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / ({_TOKC_SQL}) END)
+                        BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+          + 0.3 * (1.0 - LEAST(1.0, CASE WHEN length(text) = 0 THEN 0.0
+                                         ELSE length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{{}}-]', '', 'g')) * 1.0 / length(text) END * 4)), 6) >= 0.7
+          AND (CASE WHEN length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) = 0
+                         AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) = 0 THEN 'und'
+                    WHEN length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g'))
+                         > length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) THEN 'ru'
+                    ELSE 'en' END) = 'en')
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM({_TOKC_SQL}) AS BIGINT) AS kept_tokens
+        FROM scored GROUP BY source
+    """
 
     o["q_audio_stats"] = _values_sql(
         replicas.audio_stat_rows(90),

@@ -302,6 +302,27 @@ def image_feature_rows(n: int, dim: int = 64, seed: int = 42):
     return out
 
 
+def resized_image_rows(n: int, out_w: int, out_h: int, seed: int = 42):
+    """(asset_id, width, height, payload_md5) per image asset after the
+    nearest-neighbour resize — checksums the exact raw-RGB bytes the
+    operator emits."""
+    import numpy as np
+    out = []
+    for i in range(n):
+        kind, payload, w, h, _ = synthetic_asset_meta(i, seed)
+        if kind != "image":
+            continue
+        pix_seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        img = np.random.default_rng(pix_seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        ys = (np.arange(out_h) * img.shape[0] // out_h)
+        xs = (np.arange(out_w) * img.shape[1] // out_w)
+        resized = img[ys][:, xs]
+        out.append((f"asset_{i:08d}", out_w, out_h,
+                    hashlib.md5(resized.tobytes()).hexdigest()))
+    return out
+
+
 def audio_stat_rows(n: int, seed: int = 42):
     """(asset_id, n_samples, rms) per audio asset: payload bytes as
     little-endian pcm16, rms = sqrt(mean(x^2)) rounded 6dp (numpy mean,
