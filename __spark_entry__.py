@@ -771,6 +771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessionize_batch(e, gap_min=30)
     q["q_sessionize"] = q_sessionize
 
+    def q_catalog_columns(spark, sf_dir):  # S15/W4: catalog ordinal introspection
+        from dxf_postgis_converter_spark.sources.views import column_ordinals
+        for t in ("documents", "embeddings", "events"):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return column_ordinals(spark, ["documents", "embeddings", "events"])
+    q["q_catalog_columns"] = q_catalog_columns
+
     def q_lineage_resume(spark, sf_dir):  # §2.9 checkpointed stage + idempotent resume
         import tempfile
 
@@ -1588,6 +1595,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_SQL_POINTS})
         WHERE FLOOR(x / 128.0) BETWEEN 10 AND 20
           AND FLOOR(y / 128.0) BETWEEN 10 AND 20
+    """
+
+    # the two engines' catalogs must agree on column order — DuckDB's own
+    # information_schema over the driver-registered views is the oracle
+    o["q_catalog_columns"] = """
+        SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal
+        FROM information_schema.columns
+        WHERE table_name IN ('documents', 'embeddings', 'events')
     """
 
     # resume contract: first run lands every media span across 16 buckets;

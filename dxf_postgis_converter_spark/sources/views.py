@@ -37,3 +37,16 @@ def register_views(spark: SparkSession, sf: float = 0.001,
 def list_catalog_tables(spark: SparkSession) -> list[str]:
     """S15: enumerate visible tables/views via the Spark catalog."""
     return sorted(t.name for t in spark.catalog.listTables())
+
+
+def column_ordinals(spark: SparkSession, tables: list[str]):
+    """W4 ordinal introspection (the reference reads
+    information_schema.columns ordinal_position to order export columns;
+    data_viewer_use_case.py): (table_name, column_name, ordinal) in
+    schema order, 1-based — directly comparable to any ANSI catalog."""
+    rows = []
+    for t in tables:
+        for i, f in enumerate(spark.table(t).schema.fields, start=1):
+            rows.append((t, f.name, i))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int")
