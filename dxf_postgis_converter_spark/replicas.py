@@ -27,8 +27,14 @@ _M2 = 0x94D049BB133111EB
 
 
 def round6(x: float) -> float:
-    """Spark F.round(double, 6): BigDecimal(x).setScale(6, HALF_UP)."""
-    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    """Spark F.round(double, 6): Catalyst routes doubles through
+    Decimal(Double.toString(v)) — the SHORTEST decimal representation —
+    then setScale(6, HALF_UP). Decimal(repr(x)) reproduces that exactly;
+    Decimal(x) (the exact binary expansion) does NOT: e.g. 0.1234565
+    stores as 0.12345649999..., which exact-HALF_UP rounds DOWN while
+    Spark rounds the shortest form UP (caught by test_replicas)."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 def _splitmix(x: int) -> int:
