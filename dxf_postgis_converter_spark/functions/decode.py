@@ -398,7 +398,7 @@ else:  # pragma: no cover
         return json.dumps(obj, ensure_ascii=False, sort_keys=True,
                           separators=(",", ":"))
 
-    _loads = _loads
+    _loads = json.loads
 
 
 def convert_entity(payload: dict):
