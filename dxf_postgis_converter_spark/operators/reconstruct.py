@@ -44,8 +44,12 @@ from ..corpus import SPANS_SCHEMA, canonical_media_ref
 
 # source-payload extra_data keys (corpus contract; everything else in the
 # stored extra_data was merged in by a converter and is not part of the
-# original payload)
-RT_EXTRA_KEYS = ("dxftype", "layer_name", "block_name", "block_entities")
+# original payload). dxf_attribs + layer_dxf_attribs are what real-ezdxf
+# ingest embeds (dxf_reader.py:105-116 via sources/extractors.py
+# base_attributes) — dropping them broke real-ingest round-trips
+# (ADVICE r2 medium).
+RT_EXTRA_KEYS = ("dxftype", "dxf_attribs", "layer_name",
+                 "layer_dxf_attribs", "block_name", "block_entities")
 
 _REF_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),

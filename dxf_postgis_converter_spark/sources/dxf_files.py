@@ -43,6 +43,28 @@ def scan_dxf_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def spans_from_entity_snapshots(snapshots: list[tuple], layer_styles: dict) -> list[dict]:
+    """Pure span builder: [(etype, dxfattribs dict, geom-snapshot dict,
+    handle, layer)] → media spans. The geom snapshot is dxfattribs plus
+    the collection fields (points/vertices/…) that only geometry
+    extraction reads. extra_data is EXACTLY what base_attributes produces
+    (dxf_reader.py:105-116 parity: dxftype + dxf_attribs always;
+    layer_name + layer_dxf_attribs only when a non-empty ByLayer style
+    snapshot exists) — reconstruct.RT_EXTRA_KEYS must keep all of these
+    for the round-trip to hold on real ingest (ADVICE r2 medium)."""
+    from .extractors import base_attributes, extract_geometries
+
+    spans = []
+    for off, (etype, dxfattribs, snapshot, handle, layer) in enumerate(snapshots):
+        geoms = extract_geometries(etype, snapshot)
+        attributes, extra = base_attributes(dxfattribs, etype, layer_styles)
+        ref = canonical_media_ref(
+            etype, f"{etype}_{off}", handle or f"{off:x}",
+            layer, attributes, geoms, extra)
+        spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+    return spans
+
+
 def _spans_from_dxf(content: bytes, filename: str) -> list[dict]:
     if not HAVE_EZDXF:
         raise NotImplementedError(
@@ -50,8 +72,6 @@ def _spans_from_dxf(content: bytes, filename: str) -> list[dict]:
             "ingest real .dxf files, or generate the synthetic corpus "
             "(dxf_postgis_converter_spark.corpus)")
     import io
-
-    from .extractors import base_attributes, extract_geometries
 
     doc = ezdxf.read(io.StringIO(content.decode("utf-8", "replace")))
     # layer style table for the ByLayer snapshot (dxf_reader.py:118-144)
@@ -61,8 +81,8 @@ def _spans_from_dxf(content: bytes, filename: str) -> list[dict]:
             k: getattr(layer.dxf, k, None)
             for k in ("color", "linetype", "lineweight", "plot",
                       "true_color", "transparency", "ltscale")}
-    spans = []
-    for off, e in enumerate(doc.modelspace()):
+    snapshots = []
+    for e in doc.modelspace():
         etype = e.dxftype()
         # snapshot the dxf attribute namespace into a plain dict and run
         # the pure extraction rules (sources/extractors.py — the single
@@ -76,15 +96,9 @@ def _spans_from_dxf(content: bytes, filename: str) -> list[dict]:
                     snapshot[extra_field] = list(v() if callable(v) else v)
                 except Exception:
                     pass
-        geoms = extract_geometries(etype, snapshot)
-        attributes, extra = base_attributes(dict(e.dxfattribs()), etype, layer_styles)
-        extra = {"dxftype": etype, "layer_name": e.dxf.layer,
-                 **{k: v for k, v in extra.items() if k.startswith("layer_dxf")}}
-        ref = canonical_media_ref(
-            etype, f"{etype}_{off}", e.dxf.handle or f"{off:x}",
-            e.dxf.layer, attributes, geoms, extra)
-        spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
-    return spans
+        snapshots.append((etype, dict(e.dxfattribs()), snapshot,
+                          e.dxf.handle, e.dxf.layer))
+    return spans_from_entity_snapshots(snapshots, layer_styles)
 
 
 def dxf_files_to_documents(files: DataFrame) -> DataFrame:

@@ -39,3 +39,64 @@ def test_world_file_parse():
     assert p == {"a": 2.0, "b": 0.0, "c": 100.5, "d": 0.0, "e": -2.0, "f": 300.25}
     with pytest.raises(ValueError):
         read_world_file("1\n2\n3\n")
+
+
+def test_ingest_roundtrip_preserves_layer_and_dxf_attribs(spark):
+    """ADVICE r2 (medium): real-ingest extra_data (dxf_attribs +
+    conditional layer_name/layer_dxf_attribs from base_attributes) must
+    survive decode → reconstruct byte-exactly. Drives the pure span
+    builder (the ezdxf adapter's only downstream) end-to-end."""
+    from dxf_postgis_converter_spark.corpus import SPANS_SCHEMA
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.operators.reconstruct import (
+        RT_EXTRA_KEYS,
+        reconstruct_documents,
+        span_mismatches,
+    )
+    from dxf_postgis_converter_spark.sources.dxf_files import (
+        spans_from_entity_snapshots,
+    )
+
+    assert "dxf_attribs" in RT_EXTRA_KEYS and "layer_dxf_attribs" in RT_EXTRA_KEYS
+
+    layer_styles = {"Walls": {"color": 5, "linetype": "DASHED",
+                              "lineweight": 25, "plot": 1,
+                              "true_color": None, "transparency": None,
+                              "ltscale": None}}
+    snapshots = [
+        # entity on a styled layer → layer_name + layer_dxf_attribs present
+        ("LINE",
+         {"layer": "Walls", "color": 256, "start": [0, 0, 0], "end": [5, 5, 0]},
+         {"layer": "Walls", "color": 256, "start": [0, 0, 0], "end": [5, 5, 0]},
+         "a1", "Walls"),
+        # entity on an unstyled layer → NO layer_name/layer_dxf_attribs
+        ("CIRCLE",
+         {"layer": "Misc", "center": [1, 2, 0], "radius": 2.5},
+         {"layer": "Misc", "center": [1, 2, 0], "radius": 2.5},
+         "a2", "Misc"),
+        ("LWPOLYLINE",
+         {"layer": "Walls"},
+         {"layer": "Walls", "is_closed": True,
+          "points": [[0, 0, 0, 0, 0], [4, 0, 0, 0, 0], [4, 3, 0, 0, 0]]},
+         "a3", "Walls"),
+    ]
+    spans = spans_from_entity_snapshots(snapshots, layer_styles)
+
+    import json as _json
+    payloads = [_json.loads(s["media_ref"]) for s in spans]
+    assert "dxf_attribs" in payloads[0]["extra_data"]
+    assert payloads[0]["extra_data"]["layer_dxf_attribs"] == {
+        "color": 5, "linetype": "DASHED", "lineweight": 25, "plot": 1}
+    assert payloads[0]["extra_data"]["layer_name"] == "Walls"
+    assert "layer_name" not in payloads[1]["extra_data"]
+    assert "layer_dxf_attribs" not in payloads[1]["extra_data"]
+
+    docs = spark.createDataFrame(
+        [("ingested_doc", [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                           for s in spans])],
+        schema=SPANS_SCHEMA)
+    ents = decode_documents(docs)
+    texts = ents.sparkSession.createDataFrame(
+        [], "doc_id string, span_offset int, text string")
+    rebuilt = reconstruct_documents(ents, texts)
+    assert span_mismatches(docs, rebuilt).count() == 0
