@@ -54,7 +54,14 @@ from dxf_postgis_converter_spark.sources.tables import (
     corpus_documents, corpus_zones, load_table, sf_of_dir,
 )
 
-CORPUS_SF001 = "/root/repo/data/corpus/sf0.01"
+# The driver's correctness gate runs at sf0.01; oracle_sql() strings are
+# built for whatever scale ORACLE_SF_DIR points at. scripts/selfcheck.py
+# exports the same SELFCHECK_SF_DIR it passes to queries(), so running
+# the gate at another sf keeps queries and oracles on the SAME data
+# (ADVICE r2: a fixed path here silently compared across scales).
+ORACLE_SF_DIR = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
+_ORACLE_SF = sf_of_dir(ORACLE_SF_DIR)
+CORPUS_SF001 = f"/root/repo/data/corpus/sf{_ORACLE_SF:g}"
 DOCS_PQ = f"'{CORPUS_SF001}/documents/*.parquet'"
 ZONES_PQ = f"'{CORPUS_SF001}/zones/*.parquet'"
 
@@ -135,10 +142,10 @@ def _sanitize_sql(expr: str) -> str:
 # normalized text + md5 fingerprint (functions.text.fingerprint parity)
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
-# driver testdata root at the driver's correctness scale (the replica
-# oracles below inline VALUES computed from these parquet files, exactly
-# like the corpus-backed oracles read DOCS_PQ from a fixed sf0.01 path)
-TESTDATA_SF001 = "/root/testdata/sf0.01"
+# driver testdata root at the oracle scale (the replica oracles below
+# inline VALUES computed from these parquet files; derives from the same
+# SELFCHECK_SF_DIR the gate passes to queries())
+TESTDATA_SF001 = ORACLE_SF_DIR
 
 
 def _values_sql(rows, cols_types) -> str:
