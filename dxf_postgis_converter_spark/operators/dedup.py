@@ -97,46 +97,6 @@ def exact_jaccard(grams_a, grams_b) -> F.Column:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signature_jvm(grams_col, num_hashes: int = 64) -> F.Column:
-    """array<bigint> of k minhashes over a shingle array — entirely JVM:
-    sig[k] = min over grams of xxhash64(k, gram). No Python stage at all
-    (the r1 pandas-UDF signature path measured ~6x slower).
-
-    Shaped as ONE fold over the gram array (not k nested scans) so the
-    gram expression is referenced exactly once: Catalyst's projection
-    collapse inlines upstream expressions into lambda bodies, and a
-    transform-per-k formulation re-evaluates the whole shingle pipeline
-    k times per row (measured 44x slower)."""
-    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
-    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.aggregate(
-        grams_col, init,
-        lambda acc, g: F.zip_with(acc, ks, lambda a, k: F.least(a, F.xxhash64(k, g))))
-
-
-def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 64, shingle_n: int = 5,
-) -> DataFrame:
-    """(id, sig: array<bigint>) — k minhashes over char-n-gram shingles,
-    one Arrow batch at a time, numpy-vectorized across the hash family."""
-    seeds = _splitmix(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf[id_col].tolist()
-            sigs = []
-            for t in pdf[text_col].tolist():
-                sh = _shingles(t or "", shingle_n)
-                # k permutations: min over (shingle ^ seed) mixed
-                m = _splitmix(sh[None, :] ^ seeds[:, None]).min(axis=1)
-                sigs.append((m & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
-
-    schema = T.StructType([docs.schema[id_col], T.StructField("sig", T.ArrayType(T.LongType()))])
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
-
-
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, bands: int = 32, shingle_n: int = 3,
@@ -146,7 +106,12 @@ def minhash_lsh_pairs(
     ≥ threshold, found via MinHash banding.
 
     Pipeline (all JVM until the final verify, also JVM):
-      1. sig: k minhashes over word n-gram shingles (minhash_signature_jvm);
+      1. sig: k minhashes over word n-gram shingles — each gram string
+         is hashed ONCE (gh = xxhash64(gram)), then the k-family value
+         is xxhash64(k, gh): k fixed-width integer hashes per gram
+         instead of k string hashes, computed via explode + groupBy
+         min-agg so the shuffle carries one 64-long row per doc
+         (map-side partial min);
       2. banding: sig → `bands` buckets of r=num_hashes/bands rows; bucket
          key = xxhash64(band slice); candidates = equi-join on
          (band, bucket) — the classic shuffle-friendly formulation;
