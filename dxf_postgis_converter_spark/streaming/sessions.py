@@ -68,30 +68,32 @@ def _session_fn(gap_min: int):
                 out.append((user_id, start, end, n, round(total, 2)))
                 state.remove()
         else:
-            rows = rows.sort_values("ts")
+            # Interval-merge sweep: new events are intervals [ts, ts]; the
+            # open session from state is an interval [start, end] whose
+            # internal gaps are already <= gap. Sorting all intervals by
+            # start and merging adjacent ones whose gap is <= gap_s is
+            # exactly what the batch twin's global sort computes — so any
+            # number of late events (within the watermark) merge with each
+            # other AND with the open session identically to batch
+            # (ADVICE r2: the old per-event walk emitted two late events
+            # within gap of each other as two single-event sessions).
+            items = [(ts.to_pydatetime(), ts.to_pydatetime(), 1, float(v))
+                     for ts, v in zip(rows["ts"], rows["value"])]
             if state.exists:
-                start, end, n, total = state.get
-            else:
-                start = end = None
-                n, total = 0, 0.0
-            for ts, value in zip(rows["ts"], rows["value"]):
-                ts = ts.to_pydatetime()
-                if end is not None and (ts - end).total_seconds() > gap_s:
-                    out.append((user_id, start, end, n, round(total, 2)))
-                    start, n, total = ts, 0, 0.0
-                elif start is not None and (start - ts).total_seconds() > gap_s:
-                    # late-but-valid event (within watermark, earlier micro-
-                    # batch missed it) that is > gap earlier than the open
-                    # session: it forms its own already-closed session
-                    out.append((user_id, ts, ts, 1, round(float(value), 2)))
-                    continue
-                if start is None or ts < start:
-                    # out-of-order event inside the gap extends the session
-                    # backwards, like the batch twin's global sort would
-                    start = ts
-                end = ts if end is None or ts > end else end
-                n += 1
-                total += float(value)
+                items.append(state.get)
+            items.sort(key=lambda it: (it[0], it[1]))
+            cur = items[0]
+            for s2, e2, n2, t2 in items[1:]:
+                cs, ce, cn, ct = cur
+                if (s2 - ce).total_seconds() > gap_s:
+                    # earlier session, already > gap before the next one:
+                    # emit closed (late data for it would be beyond the
+                    # watermark by construction of the open session)
+                    out.append((user_id, cs, ce, cn, round(ct, 2)))
+                    cur = (s2, e2, n2, t2)
+                else:
+                    cur = (cs, max(ce, e2), cn + n2, ct + t2)
+            start, end, n, total = cur
             state.update((start, end, n, total))
             # close the session once event time passes end + gap
             state.setTimeoutTimestamp(int(end.timestamp() * 1000) + gap_s * 1000)

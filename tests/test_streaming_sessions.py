@@ -135,3 +135,50 @@ def test_stream_late_event_outside_gap_is_own_session():
     r = emitted.iloc[0]
     assert r["n_events"] == 1 and r["total_value"] == 5.0
     assert st.get[0] == base  # open session untouched
+
+
+def test_stream_multiple_late_events_merge_like_batch():
+    """ADVICE r2: two late events within gap of each other (both > gap
+    before the open session) must form ONE merged session, as the batch
+    twin's global sort would — not two single-event sessions."""
+    from dxf_postgis_converter_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(30)
+    st = _FakeState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _run_batch(fn, st, [(base, 1.0)])
+    out = _run_batch(fn, st, [(base - dt.timedelta(hours=3), 5.0),
+                              (base - dt.timedelta(hours=3) + dt.timedelta(minutes=10), 2.0),
+                              (base - dt.timedelta(hours=3) + dt.timedelta(minutes=20), 3.0)])
+    emitted = out[0]
+    assert len(emitted) == 1
+    r = emitted.iloc[0]
+    assert r["n_events"] == 3 and r["total_value"] == 10.0
+    assert r["session_start"] == base - dt.timedelta(hours=3)
+    assert r["session_end"] == base - dt.timedelta(hours=3) + dt.timedelta(minutes=20)
+    assert st.get[0] == base  # open session untouched
+
+
+def test_stream_late_events_straddling_two_islands():
+    """Late events forming two separate islands before the open session:
+    both emitted closed, correctly grouped."""
+    from dxf_postgis_converter_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(30)
+    st = _FakeState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _run_batch(fn, st, [(base, 1.0)])
+    out = _run_batch(fn, st, [
+        (base - dt.timedelta(hours=6), 1.0),
+        (base - dt.timedelta(hours=6) + dt.timedelta(minutes=5), 1.0),
+        (base - dt.timedelta(hours=2), 7.0),
+    ])
+    emitted = out[0]
+    assert len(emitted) == 2
+    a, b = emitted.iloc[0], emitted.iloc[1]
+    assert a["n_events"] == 2 and a["total_value"] == 2.0
+    assert b["n_events"] == 1 and b["total_value"] == 7.0
+    # a late event within gap of the open session still merges into it
+    _run_batch(fn, st, [(base - dt.timedelta(minutes=25), 4.0)])
+    start, end, n, total = st.get
+    assert start == base - dt.timedelta(minutes=25) and n == 2 and total == 5.0
