@@ -216,11 +216,29 @@ def lsh_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[f
     return _rerank_topk(evec, dict(queries), pairs, k)
 
 
+def _lloyd(sample, k: int, n_iter: int):
+    """Verbatim mirror of operators.similarity._lloyd (deterministic
+    Lloyd: init = first k sample rows, empty cluster keeps centroid)."""
+    import numpy as np
+    c = sample[:k].copy()
+    for _ in range(n_iter):
+        c_sq = (c ** 2).sum(axis=1)
+        d2 = (sample ** 2).sum(axis=1)[:, None] - 2.0 * (sample @ c.T) + c_sq[None, :]
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
 def ivf_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[float]]],
-             k: int, n_centroids: int = 16, n_probe: int = 4):
+             k: int, n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 2048, n_iter: int = 8):
     import numpy as np
     ids = sorted(emb, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
-    c = np.asarray([v for _, v in ids[:n_centroids]], dtype=np.float64)
+    sample = np.asarray([v for _, v in ids[:max(sample_size, n_centroids)]], dtype=np.float64)
+    c = _lloyd(sample, n_centroids, n_iter)
     c_sq = (c ** 2).sum(axis=1)
     m = np.asarray([v for _, v in emb], dtype=np.float64)
     d2 = (m ** 2).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
