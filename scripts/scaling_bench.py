@@ -73,15 +73,45 @@ def main() -> None:
         r = best
         print(f"local[{cpus}]: spatial {r['geoms_per_sec']} geoms/sec, "
               f"{r['docs_per_sec']} docs/sec, total {r['value']}s", file=sys.stderr)
-    lo, hi = LEVELS
+    lo, hi = LEVELS[0], LEVELS[-1]
     eff = (results[hi]["geoms_per_sec"] / results[lo]["geoms_per_sec"]) / (hi / lo)
     eff_docs = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+
+    # per-stage efficiency lo→hi: wall-time speedup over the core ratio
+    stage_eff = {
+        name: round((results[lo]["queries"][name] / results[hi]["queries"][name])
+                    / (hi / lo), 3)
+        for name in results[lo]["queries"]
+        if name in results[hi]["queries"]
+    }
+    # fixed-cost decomposition T(n) = f + P/n per stage (least squares over
+    # all measured levels; with two levels the fit is exactly determined).
+    # parallel_fraction = share of the lo-level wall that scales with cores
+    # — a stage can be far below 0.8 lo→hi efficiency purely because its
+    # fixed part f (job scheduling, broadcast build, sequential-round
+    # barriers) dominates at this input size, while its parallel part P/n
+    # still scales perfectly; f and P make that call quantitatively.
+    import numpy as np
+    stage_fit = {}
+    for name in stage_eff:
+        ts = np.array([results[c]["queries"][name] for c in LEVELS])
+        ns = np.array([1.0 / c for c in LEVELS])
+        A = np.stack([np.ones_like(ns), ns], axis=1)
+        (f_fixed, p_par), *_ = np.linalg.lstsq(A, ts, rcond=None)
+        t_lo = results[lo]["queries"][name]
+        stage_fit[name] = {
+            "fixed_sec": round(float(f_fixed), 3),
+            "parallel_sec_core": round(float(p_par), 3),
+            "parallel_fraction_at_lo": round(float((p_par / lo) / t_lo), 3),
+        }
+
     report = {
         "metric": f"throughput scaling efficiency local[{lo}] -> local[{hi}]",
         "value": round(eff, 3),
         "unit": "efficiency",
         "passes_north_rule": eff >= 0.8,
         "sf": results[hi]["sf"],
+        "minhash_replicas": int(os.environ.get("BENCH_MINHASH_REPLICAS", "1")),
         "levels": {
             str(c): {"geoms_per_sec": results[c]["geoms_per_sec"],
                      "docs_per_sec": results[c]["docs_per_sec"],
@@ -90,8 +120,10 @@ def main() -> None:
             for c in LEVELS
         },
         "efficiency_docs": round(eff_docs, 3),
+        "stage_efficiency": stage_eff,
+        "stage_fixed_cost_fit": stage_fit,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, os.environ.get("SCALING_OUT", "BENCH_SCALING.json")), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
 

@@ -24,8 +24,43 @@ def assets(spark):
 
 
 def test_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\x00", 4, 4)
+    import dxf_postgis_converter_spark.functions.multimodal as mm
+    if mm._PIL_Image is None:  # this container: no PIL → explicit seam
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(b"\x00", 4, 4)
+
+
+def test_codec_seam_auto_upgrades(monkeypatch):
+    """With a codec installed the SAME seam decodes real bytes; payloads
+    no codec recognizes still take the deterministic-fake path (that is
+    what keeps the synthetic-corpus oracles environment-independent)."""
+    import dxf_postgis_converter_spark.functions.multimodal as mm
+
+    class FakeUnidentified(Exception):
+        pass
+
+    decoded = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return decoded
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"PNG!":
+                raise FakeUnidentified("not an image")
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_Image", FakePIL)
+    monkeypatch.setattr(mm, "_FAKE_FALLBACK", (NotImplementedError, FakeUnidentified))
+    # decodable payload → real path (catalog metadata is ignored: actual shape wins)
+    assert (mm._decode_image(b"PNG!...", 99, 99) == decoded).all()
+    # unrecognized payload → deterministic fake at metadata shape
+    fake = mm._decode_image(b"garbage", 8, 6)
+    assert fake.shape == (6, 8, 3)
+    assert (fake == mm._decode_image(b"garbage", 8, 6)).all()
 
 
 def test_fake_decode_deterministic():
