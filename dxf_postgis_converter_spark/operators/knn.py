@@ -75,8 +75,8 @@ def knn_join(
     if fine_res:
         t = t0.withColumn(f"cell_{fine_res}",
                           cell_col(F.col("t_x"), F.col("t_y"), fine_res)).persist()
-    # targets are reused every round — materialize once
-    t.count()
+    # t is persisted and reused every round; round 1's candidate join
+    # materializes the cache — no separate warm-up action
 
     unresolved = probes.select(
         F.col(probe_id_col),
@@ -101,7 +101,7 @@ def knn_join(
     max_ring = 32
     rounds = 0
     for res_i, r in schedule():
-        if rounds >= max_rounds or unresolved.isEmpty():
+        if rounds >= max_rounds:
             break
         rounds += 1
         size_i = cell_size(res_i)
@@ -144,7 +144,13 @@ def knn_join(
         cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
             .filter(F.col("_cr") <= k).drop("_cr")
         w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # ONE materialization per round: `ranked` is the shared parent of
+        # done rows, done_ids and the next round's unresolved set, and the
+        # single count below (the round's only driver barrier — the
+        # dominant fixed cost of the loop at low parallelism) pulls the
+        # whole round through the cache.
+        ranked = cand.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k).persist()
         safe = float(r) * size_i
         full_ring = r >= grid_n  # ring covers the whole grid: all exact
         per_probe = ranked.groupBy(probe_id_col).agg(
@@ -154,11 +160,17 @@ def knn_join(
         ).select(probe_id_col)
         done = ranked.join(done_ids, probe_id_col, "left_semi") \
             .select(probe_id_col, target_id_col, "dist", "rank")
-        done = done.persist()
-        done.count()
         results = done if results is None else results.unionByName(done)
-        unresolved = unresolved.join(done_ids, probe_id_col, "left_anti").persist()
         if res_i == res and full_ring:
+            break
+        # localCheckpoint (eager) is the round's single materializing
+        # action AND truncates lineage: without it the analyzed plan tree
+        # doubles per round (round r's unresolved embeds round r-1's whole
+        # tree twice) — exponential analysis cost that OOMs the driver
+        # after ~7 rounds. Same pattern as operators/components.py.
+        unresolved = unresolved.join(done_ids, probe_id_col, "left_anti") \
+            .localCheckpoint()
+        if unresolved.isEmpty():
             break
     return results if results is not None else probes.sparkSession.createDataFrame(
         [], schema=f"{probe_id_col} string, {target_id_col} string, dist double, rank int")
