@@ -36,11 +36,14 @@ from ..index.grid import cell_col, covers_col
 DEFAULT_RES = 6  # cell = 128 world units; zone covers stay small
 
 
-def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1) -> DataFrame:
+def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1,
+                     with_wkb: bool = True) -> DataFrame:
     """zones(zone_id, kind, xmin..ymax, geometry_wkb) → one row per
-    (zone, covering cell [, salt]); all column arithmetic."""
+    (zone, covering cell [, salt]); all column arithmetic. with_wkb=False
+    drops the geometry column (the refine gets rings via broadcast —
+    see point_in_polygon_join)."""
     cover = zones.select(
-        "zone_id", "kind", "geometry_wkb",
+        "zone_id", "kind", *(["geometry_wkb"] if with_wkb else []),
         F.col("xmin").alias("z_xmin"), F.col("ymin").alias("z_ymin"),
         F.col("xmax").alias("z_xmax"), F.col("ymax").alias("z_ymax"),
         F.explode(covers_col(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res)).alias("cell"),
@@ -50,14 +53,33 @@ def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1) 
     return cover
 
 
-def _refine_batches(batches, x_col: str, y_col: str):
+def _refine_batches(batches, x_col: str, y_col: str, bc_rings=None):
     """Exact containment refine, ONE pass over all candidate kinds:
     rect zones by a vectorized bbox compare (no WKB parse), circle/poly
     zones by ray casting with the zone ring parsed once per partition.
     Handling rects here (instead of a separate JVM branch) keeps the
     candidate join single-consumer — a two-branch union would recompute
-    the probe-side scan + join twice (see git history)."""
+    the probe-side scan + join twice (see git history).
+
+    bc_rings: broadcast {zone_id: wkb bytes} for non-rect zones — the
+    geometry crosses the Arrow boundary ONCE PER EXECUTOR instead of once
+    per candidate row. Shipping ~KB rings per row both multiplied the
+    Python-boundary volume ~100x and could saturate the worker socket in
+    BOTH directions at once, deadlocking Spark's single-threaded
+    PythonRunner flow control (observed at sf0.4/local[2]). None → the
+    wkb travels as a candidate column (huge-zone-set fallback)."""
     ring_cache: dict[str, np.ndarray] = {}
+
+    def ring_of(zid, grp):
+        ring = ring_cache.get(zid)
+        if ring is None:
+            wkb = bc_rings.value[zid] if bc_rings is not None \
+                else bytes(grp["geometry_wkb"].iloc[0])
+            code, rings = parse_wkb(bytes(wkb))
+            ring = rings[0][:, :2]
+            ring_cache[zid] = ring
+        return ring
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -75,13 +97,8 @@ def _refine_batches(batches, x_col: str, y_col: str):
             )
         rest = pdf[~is_rect]
         for zid, grp in rest.groupby("zone_id", sort=False):
-            ring = ring_cache.get(zid)
-            if ring is None:
-                code, rings = parse_wkb(bytes(grp["geometry_wkb"].iloc[0]))
-                ring = rings[0][:, :2]
-                ring_cache[zid] = ring
             keep[grp.index.to_numpy()] = points_in_polygon(
-                grp[x_col].to_numpy(), grp[y_col].to_numpy(), ring)
+                grp[x_col].to_numpy(), grp[y_col].to_numpy(), ring_of(zid, grp))
         yield pdf[keep]
 
 
@@ -98,8 +115,24 @@ def point_in_polygon_join(
     """probes(any cols incl. x_col/y_col) ⋈ zones → probe cols + zone_id.
 
     Exact containment (boundary-inclusive ray casting ≙ shapely covers).
-    """
-    cover = zone_cover_cells(zones, res=res, n_salt=n_salt)
+
+    Non-rect zone geometries reach the refine via a Spark broadcast
+    variable ({zone_id: wkb}, one copy per executor) rather than as a
+    join column repeated per candidate row — up to
+    ``max_ring_broadcast`` zones (driver-guarded; beyond it the wkb
+    falls back to per-row carriage and the cogroup-by-zone design in the
+    module doc becomes the right tool)."""
+    max_ring_broadcast = 100_000
+    nonrect_rows = (zones.filter(F.col("kind") != "rect")
+                    .select("zone_id", "geometry_wkb")
+                    .limit(max_ring_broadcast + 1).collect())
+    bc_rings = None
+    if len(nonrect_rows) <= max_ring_broadcast:
+        bc_rings = probes.sparkSession.sparkContext.broadcast(
+            {r.zone_id: bytes(r.geometry_wkb) for r in nonrect_rows})
+
+    cover = zone_cover_cells(zones, res=res, n_salt=n_salt,
+                             with_wkb=bc_rings is None)
     if broadcast_zones:
         cover = F.broadcast(cover)
 
@@ -115,17 +148,18 @@ def point_in_polygon_join(
     # one Arrow-batched refine pass over ALL candidates (rect rows are a
     # vectorized bbox compare inside the same stage — no WKB parse, and no
     # second consumer of the candidate join)
-    extra = ["zone_id", "kind", "z_xmin", "z_ymin", "z_xmax", "z_ymax", "geometry_wkb"]
+    extra = ["zone_id", "kind", "z_xmin", "z_ymin", "z_xmax", "z_ymax"] \
+        + ([] if bc_rings is not None else ["geometry_wkb"])
     refine_in = cand.select(*probe_cols, *extra)
     schema = T.StructType(
         [probes.schema[c] for c in probe_cols]
         + [T.StructField("zone_id", T.StringType()), T.StructField("kind", T.StringType()),
            T.StructField("z_xmin", T.DoubleType()), T.StructField("z_ymin", T.DoubleType()),
-           T.StructField("z_xmax", T.DoubleType()), T.StructField("z_ymax", T.DoubleType()),
-           T.StructField("geometry_wkb", T.BinaryType())]
+           T.StructField("z_xmax", T.DoubleType()), T.StructField("z_ymax", T.DoubleType())]
+        + ([] if bc_rings is not None else [T.StructField("geometry_wkb", T.BinaryType())])
     )
     return refine_in.mapInPandas(
-        lambda it: _refine_batches(it, x_col, y_col), schema=schema
+        lambda it: _refine_batches(it, x_col, y_col, bc_rings), schema=schema
     ).select(*probe_cols, "zone_id")
 
 
