@@ -29,10 +29,15 @@ window per round — the engine's only analytic window op (SURVEY §2.6).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..index.grid import cell_col, cell_size, k_ring_col
+
+_DEBUG = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
 
 
 def knn_join(
@@ -65,18 +70,26 @@ def knn_join(
         F.col(x_col).alias("t_x"),
         F.col(y_col).alias("t_y"),
         cell_col(F.col(x_col), F.col(y_col), res).alias(f"cell_{res}"),
-    ).persist()
+    )
     if fine_res == "auto":
+        # density probe straight off the scan (scan+agg, no cache write;
+        # at cluster scale this is the query you'd answer from catalog
+        # column statistics instead)
+        t_probe = time.time() if _DEBUG else 0.0
         hottest = (t0.groupBy(f"cell_{res}").count()
                    .agg(F.max("count")).first()[0] or 0)
         fine_res = res + 4 if hottest > hot_cell_threshold else None
+        if _DEBUG:
+            print(f"[knn] density probe wall={time.time() - t_probe:.2f}s "
+                  f"hottest={hottest} fine_res={fine_res}", flush=True)
     levels = sorted({res} | ({fine_res} if fine_res else set()), reverse=True)
     t = t0
     if fine_res:
         t = t0.withColumn(f"cell_{fine_res}",
-                          cell_col(F.col("t_x"), F.col("t_y"), fine_res)).persist()
-    # t is persisted and reused every round; round 1's candidate join
+                          cell_col(F.col("t_x"), F.col("t_y"), fine_res))
+    # ONE persist of the final target layout; round 1's candidate join
     # materializes the cache — no separate warm-up action
+    t = t.persist()
 
     unresolved = probes.select(
         F.col(probe_id_col),
@@ -159,7 +172,10 @@ def knn_join(
             (F.col("n_cand") >= k) & ((F.col("kth_dist") <= safe) | F.lit(full_ring))
         ).select(probe_id_col)
         done = ranked.join(done_ids, probe_id_col, "left_semi") \
-            .select(probe_id_col, target_id_col, "dist", "rank")
+            .select(probe_id_col, target_id_col, "dist", "rank") \
+            .localCheckpoint()  # tiny (≤k rows/probe), reads cached ranked;
+        # makes the caller's action a union of materialized rounds instead
+        # of re-deriving every round's agg+semi-join tree (~3s flat tail)
         results = done if results is None else results.unionByName(done)
         if res_i == res and full_ring:
             break
@@ -168,9 +184,14 @@ def knn_join(
         # doubles per round (round r's unresolved embeds round r-1's whole
         # tree twice) — exponential analysis cost that OOMs the driver
         # after ~7 rounds. Same pattern as operators/components.py.
+        t_round = time.time() if _DEBUG else 0.0
         unresolved = unresolved.join(done_ids, probe_id_col, "left_anti") \
             .localCheckpoint()
-        if unresolved.isEmpty():
+        empty = unresolved.isEmpty()
+        if _DEBUG:
+            print(f"[knn] round {rounds} res={res_i} r={r} "
+                  f"wall={time.time() - t_round:.2f}s empty={empty}", flush=True)
+        if empty:
             break
     return results if results is not None else probes.sparkSession.createDataFrame(
         [], schema=f"{probe_id_col} string, {target_id_col} string, dist double, rank int")
