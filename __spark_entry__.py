@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from dxf_postgis_converter_spark.functions.decode import decode_documents, text_spans
 from dxf_postgis_converter_spark.functions.naming import (
-    CYR, normalize_handle, short_id, table_name,
+    TRANSLIT, normalize_handle, short_id, table_name,
 )
 from dxf_postgis_converter_spark.functions.text import (
     fingerprint, lang_id, quality_score, token_count,
@@ -127,9 +127,16 @@ _SQL_POINTS = (
 
 
 def _translit_sql(expr: str) -> str:
-    """Nested replace() chain equal to functions.naming.transliterate."""
-    out = expr
-    for src, dst in CYR.items():
+    """DuckDB twin of functions.naming.transliterate, built from the SAME
+    mapping dict so oracle and engine cannot drift: one translate() for
+    every 1:1 mapping and deletion, nested replace() only for the ~20
+    1:many specials (a full replace chain trips DuckDB's 128-deep binder
+    recursion limit)."""
+    from dxf_postgis_converter_spark.functions.naming import _DEL, _MANY, _ONE
+    one_src = ("".join(_ONE) + "".join(_DEL)).replace("'", "''")
+    one_dst = "".join(_ONE.values()).replace("'", "''")
+    out = f"translate({expr}, '{one_src}', '{one_dst}')"
+    for src, dst in _MANY.items():
         out = f"replace({out}, '{src}', '{dst}')"
     return out
 

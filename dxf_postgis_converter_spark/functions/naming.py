@@ -29,19 +29,56 @@ CYR = {
     "Ъ": "", "Ы": "Y", "Ь": "", "Э": "E", "Ю": "Iu", "Я": "Ia",
 }
 
+# unidecode-compatible accented-Latin (unidecode's x000/x001 tables):
+# diacritic strip for the common Latin-1 / Latin-Extended-A range plus the
+# multi-char specials. Extends F1 parity beyond the Cyrillic fixture
+# domain (VERDICT r2 "what's missing" item 2 — CJK remains env-gated).
+LAT = {
+    "á": "a", "à": "a", "â": "a", "ä": "a", "ã": "a", "å": "a", "ā": "a",
+    "ă": "a", "ą": "a", "é": "e", "è": "e", "ê": "e", "ë": "e", "ē": "e",
+    "ě": "e", "ę": "e", "í": "i", "ì": "i", "î": "i", "ï": "i", "ī": "i",
+    "ó": "o", "ò": "o", "ô": "o", "ö": "o", "õ": "o", "ø": "o", "ő": "o",
+    "ú": "u", "ù": "u", "û": "u", "ü": "u", "ū": "u", "ů": "u", "ű": "u",
+    "ý": "y", "ÿ": "y", "ñ": "n", "ń": "n", "ň": "n", "ç": "c", "ć": "c",
+    "č": "c", "š": "s", "ś": "s", "ž": "z", "ź": "z", "ż": "z", "ł": "l",
+    "đ": "d", "ď": "d", "ť": "t", "ř": "r", "ð": "d",
+    "ş": "s", "ğ": "g", "ı": "i",
+    "Á": "A", "À": "A", "Â": "A", "Ä": "A", "Ã": "A", "Å": "A", "Ā": "A",
+    "Ă": "A", "Ą": "A", "É": "E", "È": "E", "Ê": "E", "Ë": "E", "Ē": "E",
+    "Ě": "E", "Ę": "E", "Í": "I", "Ì": "I", "Î": "I", "Ï": "I", "Ī": "I",
+    "Ó": "O", "Ò": "O", "Ô": "O", "Ö": "O", "Õ": "O", "Ø": "O", "Ő": "O",
+    "Ú": "U", "Ù": "U", "Û": "U", "Ü": "U", "Ū": "U", "Ů": "U", "Ű": "U",
+    "Ý": "Y", "Ñ": "N", "Ń": "N", "Ň": "N", "Ç": "C", "Ć": "C", "Č": "C",
+    "Š": "S", "Ś": "S", "Ž": "Z", "Ź": "Z", "Ż": "Z", "Ł": "L", "Đ": "D",
+    "Ď": "D", "Ť": "T", "Ř": "R", "Ð": "D",
+    "Ş": "S", "Ğ": "G", "İ": "I",
+    "ß": "ss", "æ": "ae", "œ": "oe", "þ": "th",
+    "Æ": "AE", "Œ": "OE", "Þ": "Th",
+}
+
+# the full F1 mapping — single source of truth for the JVM expression,
+# the pure-Python mirror AND the DuckDB oracle chain (__spark_entry__)
+TRANSLIT = {**CYR, **LAT}
+
+_ONE = {k: v for k, v in TRANSLIT.items() if len(v) == 1}
+_DEL = [k for k, v in TRANSLIT.items() if v == ""]
+_MANY = {k: v for k, v in TRANSLIT.items() if len(v) > 1}
+
 
 def transliterate(col: Column) -> Column:
-    """F1: unidecode-equivalent for the Cyrillic domain — chained JVM
-    replaces, fully codegen'd."""
-    out = col
-    for src, dst in CYR.items():
+    """F1: unidecode-equivalent for the Cyrillic + accented-Latin domain.
+    One JVM ``translate`` pass handles every 1:1 mapping and deletion
+    (deleted chars sit past the end of the dst string); the few 1:many
+    specials (Ж→Zh, ß→ss, …) are chained replaces. Fully codegen'd."""
+    out = F.translate(col, "".join(_ONE) + "".join(_DEL), "".join(_ONE.values()))
+    for src, dst in _MANY.items():
         out = F.replace(out, F.lit(src), F.lit(dst))
     return out
 
 
 def transliterate_py(s: str) -> str:
     """Pure-Python mirror (tests, oracle generation)."""
-    return "".join(CYR.get(ch, ch) for ch in s)
+    return "".join(TRANSLIT.get(ch, ch) for ch in s)
 
 
 def short_id(doc_id: Column) -> Column:

@@ -18,6 +18,30 @@ def test_transliterate(spark):
     assert transliterate_py("Щука и ёж") == "Shchuka i ezh"
 
 
+def test_transliterate_latin_accents(spark):
+    """F1 beyond Cyrillic: unidecode-compatible accent strip for the
+    Latin-1/Extended-A domain, JVM translate+replace == python mirror."""
+    import pyspark.sql.functions as F
+
+    from dxf_postgis_converter_spark.functions.naming import (
+        transliterate, transliterate_py,
+    )
+    cases = {
+        "Çelik Köşk": "Celik Kosk",
+        "Grünstraße": "Grunstrasse",
+        "Åse Ærø": "Ase AEro",
+        "Łódź żółw": "Lodz zolw",
+        "Přílißné œuvre": "Prilissne oeuvre",
+        "Стена-ß-Ü": "Stena-ss-U",
+        "Дверь Подъезд": "Dver Podezd",
+    }
+    for s, want in cases.items():
+        assert transliterate_py(s) == want, s
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r[0]: r[1] for r in df.select("s", transliterate(F.col("s"))).collect()}
+    assert got == cases
+
+
 def test_table_name_template(spark):
     df = spark.createDataFrame(
         [("123e4567-e89b-12d3-a456-426614174000", "Отметки фундамента")],
