@@ -35,6 +35,11 @@ from ..index.grid import cell_col, covers_col
 
 DEFAULT_RES = 6  # cell = 128 world units; zone covers stay small
 
+# non-rect zone geometries ride a broadcast {zone_id: wkb} up to this many
+# zones (same memory class as the cover broadcast); beyond it the wkb
+# falls back to per-row carriage through the candidate join
+MAX_RING_BROADCAST = 100_000
+
 
 def zone_cover_cells(zones: DataFrame, res: int = DEFAULT_RES, n_salt: int = 1,
                      with_wkb: bool = True) -> DataFrame:
@@ -122,12 +127,11 @@ def point_in_polygon_join(
     ``max_ring_broadcast`` zones (driver-guarded; beyond it the wkb
     falls back to per-row carriage and the cogroup-by-zone design in the
     module doc becomes the right tool)."""
-    max_ring_broadcast = 100_000
     nonrect_rows = (zones.filter(F.col("kind") != "rect")
                     .select("zone_id", "geometry_wkb")
-                    .limit(max_ring_broadcast + 1).collect())
+                    .limit(MAX_RING_BROADCAST + 1).collect())
     bc_rings = None
-    if len(nonrect_rows) <= max_ring_broadcast:
+    if len(nonrect_rows) <= MAX_RING_BROADCAST:
         bc_rings = probes.sparkSession.sparkContext.broadcast(
             {r.zone_id: bytes(r.geometry_wkb) for r in nonrect_rows})
 

@@ -60,3 +60,17 @@ def test_bbox_intersects_join_vs_bruteforce(entities_df, zones_df):
             if p.xmin <= zx1 and p.xmax >= zx0 and p.ymin <= zy1 and p.ymax >= zy0:
                 exp.add((p.doc_id, p.handle, zid))
     assert got == exp
+
+
+def test_pip_join_per_row_wkb_fallback(monkeypatch, points_df, zones_df, zone_rings):
+    """Huge-zone-set path: with the ring broadcast disabled (threshold 0)
+    the wkb travels as a candidate column — rows must be identical to the
+    broadcast-rings path and the brute-force oracle."""
+    import dxf_postgis_converter_spark.operators.spatial_join as sj
+
+    monkeypatch.setattr(sj, "MAX_RING_BROADCAST", 0)
+    got = {(r.doc_id, r.handle, r.zone_id)
+           for r in sj.point_in_polygon_join(points_df, zones_df, res=6).collect()}
+    points = [(r.doc_id, r.handle, r.x, r.y) for r in points_df.collect()]
+    assert got == brute_pip(points, zone_rings)
+    assert len(got) > 0
