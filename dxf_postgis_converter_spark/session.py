@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bytes cap complements the record cap (whichever hits first):
+        # bounds the Arrow batch for wide rows (multimodal binary
+        # payloads can be MBs each), which keeps the Python-worker socket
+        # from saturating in both directions at once — the PythonRunner
+        # flow-control deadlock documented in operators/spatial_join.py
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16777216")
         # 32m, not the stock 128m: scan partitions feed Arrow→Python
         # stages, so a stage needs ≥3-4 waves of tasks per core for
         # straggler smoothing. Spark's split formula (totalBytes /
