@@ -91,7 +91,7 @@ def knn_join(
     # materializes the cache — no separate warm-up action
     t = t.persist()
 
-    unresolved = probes.select(
+    unresolved = unresolved0 = probes.select(
         F.col(probe_id_col),
         F.col(x_col).alias("p_x"),
         F.col(y_col).alias("p_y"),
@@ -113,6 +113,7 @@ def knn_join(
     # the fallback is exact and bounds the worst case on sparse targets
     max_ring = 32
     rounds = 0
+    used_fallback = False
     for res_i, r in schedule():
         if rounds >= max_rounds:
             break
@@ -134,6 +135,7 @@ def knn_join(
                 .select(probe_id_col)
             rest = rest.join(full, probe_id_col, "left_semi")
             results = rest if results is None else results.unionByName(rest)
+            used_fallback = True  # rest lazily references the cached t
             break
         cand = (
             unresolved
@@ -157,11 +159,9 @@ def knn_join(
         cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
             .filter(F.col("_cr") <= k).drop("_cr")
         w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
-        # ONE materialization per round: `ranked` is the shared parent of
-        # done rows, done_ids and the next round's unresolved set, and the
-        # single count below (the round's only driver barrier — the
-        # dominant fixed cost of the loop at low parallelism) pulls the
-        # whole round through the cache.
+        # `ranked` is the shared parent of done rows, done_ids and the
+        # next round's unresolved set; the done checkpoint below is the
+        # round's heavy materialization and pulls it through the cache.
         ranked = cand.withColumn("rank", F.row_number().over(w)) \
             .filter(F.col("rank") <= k).persist()
         safe = float(r) * size_i
@@ -178,20 +178,30 @@ def knn_join(
         # of re-deriving every round's agg+semi-join tree (~3s flat tail)
         results = done if results is None else results.unionByName(done)
         if res_i == res and full_ring:
+            ranked.unpersist()
             break
-        # localCheckpoint (eager) is the round's single materializing
-        # action AND truncates lineage: without it the analyzed plan tree
-        # doubles per round (round r's unresolved embeds round r-1's whole
-        # tree twice) — exponential analysis cost that OOMs the driver
-        # after ~7 rounds. Same pattern as operators/components.py.
+        # localCheckpoint (eager) truncates lineage: without it the
+        # analyzed plan tree doubles per round (round r's unresolved
+        # embeds round r-1's whole tree twice) — exponential analysis
+        # cost that OOMs the driver after ~7 rounds. Same pattern as
+        # operators/components.py.
         t_round = time.time() if _DEBUG else 0.0
         unresolved = unresolved.join(done_ids, probe_id_col, "left_anti") \
             .localCheckpoint()
+        # done and unresolved are both materialized now — this round's
+        # cache is no longer referenced (long-lived sessions run many
+        # queries; leaked caches accumulate)
+        ranked.unpersist()
         empty = unresolved.isEmpty()
         if _DEBUG:
             print(f"[knn] round {rounds} res={res_i} r={r} "
                   f"wall={time.time() - t_round:.2f}s empty={empty}", flush=True)
         if empty:
             break
+    if not used_fallback:
+        # every per-round output is checkpointed — the target cache and
+        # the initial probe cache have no remaining consumers
+        t.unpersist()
+        unresolved0.unpersist()
     return results if results is not None else probes.sparkSession.createDataFrame(
         [], schema=f"{probe_id_col} string, {target_id_col} string, dist double, rank int")
