@@ -60,15 +60,23 @@ def run_level(cpus: int) -> dict:
 
 def main() -> None:
     results = {}
+    raw_runs = {}
     for cpus in LEVELS:
-        best = None
+        runs = []
         for i in range(REPEATS):
             r = run_level(cpus)
+            runs.append(r)
             print(f"local[{cpus}] run {i + 1}/{REPEATS}: spatial "
                   f"{r['geoms_per_sec']} geoms/sec, total {r['value']}s",
                   file=sys.stderr)
-            if best is None or r["geoms_per_sec"] > best["geoms_per_sec"]:
-                best = r
+        # per-STAGE minima across repeats (not whole-run best): external
+        # contention only inflates walls, so each stage's minimum is the
+        # closest observable to its uncontended wall even when no single
+        # run was clean end-to-end (scripts/scaling_merge.py rationale)
+        best = dict(max(runs, key=lambda r: r["geoms_per_sec"]))
+        best["queries"] = {k: min(r["queries"][k] for r in runs)
+                           for k in runs[0]["queries"]}
+        raw_runs[cpus] = [r["queries"] for r in runs]
         results[cpus] = best
         r = best
         print(f"local[{cpus}]: spatial {r['geoms_per_sec']} geoms/sec, "
@@ -122,6 +130,7 @@ def main() -> None:
         "efficiency_docs": round(eff_docs, 3),
         "stage_efficiency": stage_eff,
         "stage_fixed_cost_fit": stage_fit,
+        "queries_all_runs": {str(c): raw_runs[c] for c in LEVELS},
     }
     with open(os.path.join(REPO, os.environ.get("SCALING_OUT", "BENCH_SCALING.json")), "w") as f:
         json.dump(report, f, indent=2)
