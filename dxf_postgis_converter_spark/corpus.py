@@ -40,9 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .geometry import tessellate as tess
-from .geometry.wkb import wkb_polygon
+from .geometry.wkb import wkb_multipolygon, wkb_polygon
 
 SEED = 42
+# bump when build_zones/build_document output changes — stale on-disk
+# corpora (keyed only by sf) are rebuilt when the marker version differs
+CORPUS_VERSION = 2
 EXTENT = 8192.0  # world is [0, EXTENT)^2 — power of two for the quadtree grid
 HOT_FRACTION = 0.05
 HOT_WINDOW = (1000.0, 1000.0, 1080.0, 1080.0)  # dense CAD sheet extent
@@ -368,6 +371,44 @@ def build_zones() -> pd.DataFrame:
         ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
         add("poly", f"star_{i}", ring, {"cx": cx, "cy": cy,
                                         "ring": [[round(float(x), 6), round(float(y), 6)] for x, y in ring]})
+
+    # holed polygons (axis-aligned rect with a rect hole) + a MultiPolygon
+    # of two disjoint rects — VERDICT r3 item 2: the exact PIP refine must
+    # handle interior rings and multi-part zones, and the gate corpus must
+    # contain them so the oracle can catch an exterior-ring-only refine.
+    # Axis-aligned so the DuckDB oracle is plain BETWEEN algebra: covered =
+    # inside outer (inclusive) AND NOT strictly inside the hole (a point ON
+    # the hole boundary belongs to the polygon — shapely covers).
+    def rect_ring(x0, y0, x1, y1):
+        return np.array([[x0, y0, 0.0], [x1, y0, 0.0], [x1, y1, 0.0],
+                         [x0, y1, 0.0], [x0, y0, 0.0]])
+
+    holed = [
+        # one pinned over the hot window so the dense sheet exercises it
+        (HOT_WINDOW[0] - 200.0, HOT_WINDOW[1] - 200.0,
+         HOT_WINDOW[2] + 200.0, HOT_WINDOW[3] + 200.0,
+         HOT_WINDOW[0] + 20.0, HOT_WINDOW[1] + 20.0,
+         HOT_WINDOW[2] - 20.0, HOT_WINDOW[3] - 20.0),
+        (3000.0, 3000.0, 4600.0, 4600.0, 3400.0, 3400.0, 4200.0, 4200.0),
+    ]
+    for i, (ox0, oy0, ox1, oy1, hx0, hy0, hx1, hy1) in enumerate(holed):
+        rows.append({
+            "zone_id": f"z{len(rows):04d}", "kind": "holed", "name": f"holed_{i}",
+            "xmin": ox0, "ymin": oy0, "xmax": ox1, "ymax": oy1,
+            "geometry_wkb": wkb_polygon(rect_ring(ox0, oy0, ox1, oy1),
+                                        holes=[rect_ring(hx0, hy0, hx1, hy1)]),
+            "params_json": _jdump({"outer": [ox0, oy0, ox1, oy1],
+                                   "hole": [hx0, hy0, hx1, hy1]}),
+        })
+
+    parts = [(5200.0, 700.0, 6000.0, 1500.0), (6400.0, 1900.0, 7200.0, 2700.0)]
+    rows.append({
+        "zone_id": f"z{len(rows):04d}", "kind": "multi", "name": "multi_0",
+        "xmin": min(p[0] for p in parts), "ymin": min(p[1] for p in parts),
+        "xmax": max(p[2] for p in parts), "ymax": max(p[3] for p in parts),
+        "geometry_wkb": wkb_multipolygon([rect_ring(*p) for p in parts]),
+        "params_json": _jdump({"parts": [list(p) for p in parts]}),
+    })
     return pd.DataFrame(rows)
 
 
@@ -409,35 +450,46 @@ def _promote(tmp: str, d: str) -> None:
     """Atomically publish a fully-built corpus dir (lost races discard
     their build — content is deterministic, so either copy is correct).
 
-    A marker-less existing dir (partial build left by a crashed run) is
-    NOT a winner: clear it first so the fresh build can land; only
-    discard tmp when the dir that beat us actually carries _COMPLETE."""
+    A marker-less or stale-version existing dir (partial build left by a
+    crashed run, or output of an older generator) is NOT a winner: clear
+    it first so the fresh build can land; only discard tmp when the dir
+    that beat us carries a CURRENT-version _COMPLETE."""
     import shutil
 
-    if os.path.isdir(d) and not os.path.exists(os.path.join(d, "_COMPLETE")):
+    if os.path.isdir(d) and not _marker_current(os.path.join(d, "_COMPLETE")):
         shutil.rmtree(d, ignore_errors=True)
     try:
         os.rename(tmp, d)
     except OSError:
-        if os.path.exists(os.path.join(d, "_COMPLETE")):
+        if _marker_current(os.path.join(d, "_COMPLETE")):
             shutil.rmtree(tmp, ignore_errors=True)  # lost a real race
-        else:  # loser was partial/vanished: replace it outright
+        else:  # loser was partial/stale/vanished: replace it outright
             shutil.rmtree(d, ignore_errors=True)
             os.rename(tmp, d)
+
+
+def _marker_current(marker: str) -> bool:
+    """True when an on-disk corpus was built by THIS generator version —
+    the cache is keyed only by sf, so generator changes must invalidate it."""
+    try:
+        with open(marker) as f:
+            return f"version={CORPUS_VERSION}\n" in f.read()
+    except OSError:
+        return False
 
 
 def ensure_corpus(spark: SparkSession, sf: float) -> str:
     """Generate (once) and return the corpus dir holding documents/ + zones/."""
     d = corpus_dir(sf)
     marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
+    if not _marker_current(marker):
         tmp = f"{d}.tmp-{os.getpid()}"
         n = docs_for_sf(sf)
         generate_documents(spark, n).write.mode("overwrite").parquet(os.path.join(tmp, "documents"))
         spark.createDataFrame(build_zones(), schema=ZONES_SCHEMA) \
             .coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "zones"))
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
-            f.write(f"n_docs={n}\nseed={SEED}\n")
+            f.write(f"n_docs={n}\nseed={SEED}\nversion={CORPUS_VERSION}\n")
         _promote(tmp, d)
     return d
 
@@ -449,7 +501,7 @@ def ensure_corpus_local(sf: float) -> str:
     exists (the DuckDB side reads these parquet files directly)."""
     d = corpus_dir(sf)
     marker = os.path.join(d, "_COMPLETE")
-    if os.path.exists(marker):
+    if _marker_current(marker):
         return d
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -481,7 +533,7 @@ def ensure_corpus_local(sf: float) -> str:
     os.makedirs(os.path.join(tmp, "zones"), exist_ok=True)
     pq.write_table(zones_t, os.path.join(tmp, "zones", "part-00000.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
-        f.write(f"n_docs={n}\nseed={SEED}\nwriter=pyarrow\n")
+        f.write(f"n_docs={n}\nseed={SEED}\nversion={CORPUS_VERSION}\nwriter=pyarrow\n")
     _promote(tmp, d)
     return d
 

@@ -42,8 +42,115 @@ ASSET_SCHEMA = T.StructType([
 ])
 
 
+# --------------------------------------------------------------------------
+# minimal PNG codec (stdlib zlib/struct only) — gives the synthetic corpus
+# REAL image bytes so the codec seam is driven end-to-end by the gate in
+# every environment (VERDICT r3 item 7): with PIL installed the real
+# decoder reads them; without it the spec-level fallback below does, and
+# both produce the identical RGB array (PNG is lossless).
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def gradient_pixels(w: int, h: int, i: int) -> np.ndarray:
+    """The spec'd pixel content of PNG-bearing synthetic assets —
+    pix[y, x, c] = (3x + 7y + 11c + i) mod 256. A closed formula (not a
+    PRNG stream) so the oracle replica can derive the expected pixels
+    without sharing any code with the decode path."""
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((3 * xs + 7 * ys + 11 * cs + int(i)) % 256).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → valid PNG bytes: 8-bit RGB, non-interlaced,
+    filter 0 on every scanline, one IDAT chunk."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Spec-level decoder for 8-bit RGB non-interlaced PNGs (the shape
+    encode_png and every mainstream encoder emit for plain RGB): walks
+    chunks, inflates the concatenated IDAT stream, reverses all five
+    scanline filter types. Raises ValueError on anything else."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = None
+    idat = []
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4:off + 8]
+        body = payload[off + 8:off + 8 + ln]
+        off += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(f"unsupported PNG shape {(depth, color, interlace)}")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:     # Sub
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif ftype == 2:   # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:   # Average
+            for x in range(stride):
+                left = int(line[x - 3]) if x >= 3 else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:   # Paeth
+            for x in range(stride):
+                a = int(line[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
 def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table (pure function of (seed, id))."""
+    """Deterministic fake asset table (pure function of (seed, id)).
+
+    Every 3rd image asset (id % 9 == 0) carries a REAL PNG payload of the
+    gradient_pixels formula instead of opaque random bytes — the codec
+    seam decodes those for real (PIL or the spec fallback) while the
+    remaining images keep exercising the deterministic-fake path."""
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -58,6 +165,12 @@ def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         "sample_rate": 16000 if kind == "audio" else None,
                         "duration_ms": int(rng.integers(1000, 60000)) if kind != "image" else None,
                         "codec": {"image": "png", "audio": "pcm16", "video": "h264-stub"}[kind]}
+                if kind == "image" and int(i) % 9 == 0:
+                    payload = encode_png(gradient_pixels(
+                        meta["width"], meta["height"], int(i)))
+                else:
+                    meta["codec"] = {"image": "raw-stub", "audio": "pcm16",
+                                     "video": "h264-stub"}[kind]
                 rows.append((f"asset_{int(i):08d}", kind, payload, meta))
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload", "meta"])
 
@@ -95,13 +208,16 @@ def _decode_image_real(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """(H, W, 3) uint8. Tries the real codec first; payloads that no
-    installed codec recognizes (including this sandbox's synthetic
-    assets) get the deterministic fake: pixels are a seeded PRNG stream
-    keyed by the payload digest — stable across runs/partitions."""
+    """(H, W, 3) uint8. Tries the real codec first; without one, PNG
+    payloads go through the spec-level decoder above (bit-identical to
+    what PIL would produce — PNG is lossless); payloads no decoder
+    recognizes get the deterministic fake: pixels are a seeded PRNG
+    stream keyed by the payload digest — stable across runs/partitions."""
     try:
         return _decode_image_real(payload, width, height)
     except _FAKE_FALLBACK:
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -129,8 +245,13 @@ def image_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             out = []
             for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _decode_image(bytes(payload), w, h).astype(np.float32)
+                img = _decode_image(bytes(payload), int(meta["width"]),
+                                    int(meta["height"])).astype(np.float32)
+                # the decoded raster's ACTUAL shape wins over catalog
+                # metadata — a real codec (PIL path) may disagree with the
+                # catalog, and pooling with the metadata shape would then
+                # reshape-fail or pool a wrong region (ADVICE r3)
+                h, w = img.shape[:2]
                 g = int(np.sqrt(dim / 1))  # g×g grid, channel-averaged
                 gh, gw = max(h // g, 1), max(w // g, 1)
                 pooled = img[: g * gh, : g * gw].reshape(g, gh, g, gw, 3).mean(axis=(1, 3, 4))

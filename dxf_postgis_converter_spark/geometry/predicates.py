@@ -14,14 +14,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd ray casting; boundary points count as inside
-    (matches shapely ``covers`` on non-degenerate inputs).
-
-    px, py: (n,) point coords. ring: (m,2) polygon ring (closed or open).
-    """
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
+def _ring_crossings(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
+    """One ring's (horizontal-ray crossing counts, on-boundary mask) for a
+    batch of points — the shared kernel of the single-ring and
+    multi-ring containment tests below."""
     ring = np.asarray(ring, dtype=np.float64)[:, :2]
     if len(ring) and np.array_equal(ring[0], ring[-1]):
         ring = ring[:-1]
@@ -34,12 +30,51 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     cond = (y1[None, :] > pyc) != (y2[None, :] > pyc)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x1[None, :] + (pyc - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
-    crossing = cond & (pxc < xint)
-    inside = crossing.sum(axis=1) % 2 == 1
-
-    # boundary-inclusive: point on any segment counts
+    crossings = (cond & (pxc < xint)).sum(axis=1)
     on_edge = _points_on_segments(pxc, pyc, x1, y1, x2, y2)
-    return inside | on_edge
+    return crossings, on_edge
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting; boundary points count as inside
+    (matches shapely ``covers`` on non-degenerate inputs).
+
+    px, py: (n,) point coords. ring: (m,2) polygon ring (closed or open).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    crossings, on_edge = _ring_crossings(px, py, ring)
+    return (crossings % 2 == 1) | on_edge
+
+
+def points_in_polygon_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd containment over ALL rings of one polygon (exterior +
+    interior holes): a point is inside when its total crossing count over
+    every ring is odd; a point ON any ring (including a hole boundary) is
+    covered (shapely ``covers``: the boundary of a hole belongs to the
+    polygon). rings: iterable of (m,>=2) arrays."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    total = np.zeros(len(px), dtype=np.int64)
+    on_edge = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        c, e = _ring_crossings(px, py, ring)
+        total += c
+        on_edge |= e
+    return (total % 2 == 1) | on_edge
+
+
+def points_covered(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    """Containment against a parsed WKB geometry (``wkb.parse_wkb``
+    output): POLYGON = list of rings (even-odd incl. holes);
+    MULTIPOLYGON = list of polygons (covered by ANY part)."""
+    rings = geom
+    if len(rings) and isinstance(rings[0], (list, tuple)):  # MULTIPOLYGON
+        out = np.zeros(len(np.asarray(px)), dtype=bool)
+        for poly_rings in rings:
+            out |= points_in_polygon_rings(px, py, poly_rings)
+        return out
+    return points_in_polygon_rings(px, py, rings)
 
 
 def _points_on_segments(pxc, pyc, x1, y1, x2, y2, eps=1e-12):

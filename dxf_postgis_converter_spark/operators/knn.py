@@ -113,7 +113,6 @@ def knn_join(
     # the fallback is exact and bounds the worst case on sparse targets
     max_ring = 32
     rounds = 0
-    used_fallback = False
     for res_i, r in schedule():
         if rounds >= max_rounds:
             break
@@ -133,9 +132,12 @@ def knn_join(
             # keep the sub-k-targets contract: such probes stay absent
             full = rest.groupBy(probe_id_col).count().filter(F.col("count") == k) \
                 .select(probe_id_col)
-            rest = rest.join(full, probe_id_col, "left_semi")
+            # materialize (≤k rows per unresolved probe) so the target
+            # cache has no lazy consumer left and can be dropped below —
+            # repeated fallback-path calls in a long session leaked t
+            # and unresolved0 otherwise (ADVICE r3)
+            rest = rest.join(full, probe_id_col, "left_semi").localCheckpoint()
             results = rest if results is None else results.unionByName(rest)
-            used_fallback = True  # rest lazily references the cached t
             break
         cand = (
             unresolved
@@ -172,36 +174,57 @@ def knn_join(
             (F.col("n_cand") >= k) & ((F.col("kth_dist") <= safe) | F.lit(full_ring))
         ).select(probe_id_col)
         done = ranked.join(done_ids, probe_id_col, "left_semi") \
-            .select(probe_id_col, target_id_col, "dist", "rank") \
-            .localCheckpoint()  # tiny (≤k rows/probe), reads cached ranked;
-        # makes the caller's action a union of materialized rounds instead
-        # of re-deriving every round's agg+semi-join tree (~3s flat tail)
-        results = done if results is None else results.unionByName(done)
+            .select(probe_id_col, target_id_col, "dist", "rank")
         if res_i == res and full_ring:
+            # last possible round: no next unresolved set to carry —
+            # materialize the done rows alone
+            results_round = done.localCheckpoint()
+            results = results_round if results is None \
+                else results.unionByName(results_round)
             ranked.unpersist()
             break
-        # localCheckpoint (eager) truncates lineage: without it the
-        # analyzed plan tree doubles per round (round r's unresolved
-        # embeds round r-1's whole tree twice) — exponential analysis
-        # cost that OOMs the driver after ~7 rounds. Same pattern as
-        # operators/components.py.
+        # ONE materialization per round (VERDICT r3 item 6: the former
+        # done/unresolved checkpoint PAIR was ~0.3-0.6s/round of pure
+        # barrier cost): a single tagged union carries both this round's
+        # done rows (_st=1) and the next round's unresolved probes
+        # (_st=0); localCheckpoint (eager) also truncates lineage —
+        # without it the analyzed plan tree doubles per round and OOMs
+        # the driver after ~7 rounds (same pattern as components.py).
         t_round = time.time() if _DEBUG else 0.0
-        unresolved = unresolved.join(done_ids, probe_id_col, "left_anti") \
+        next_unresolved = unresolved.join(done_ids, probe_id_col, "left_anti")
+        probe_side = [c for c in unresolved.columns if c != probe_id_col]
+        state = (
+            done.withColumn("_st", F.lit(1))
+            .withColumns({c: F.lit(None).cast(unresolved.schema[c].dataType)
+                          for c in probe_side})
+            .unionByName(
+                next_unresolved.withColumn("_st", F.lit(0))
+                .withColumns({target_id_col: F.lit(None).cast(
+                                  t.schema[target_id_col].dataType),
+                              "dist": F.lit(None).cast("double"),
+                              "rank": F.lit(None).cast("int")}))
             .localCheckpoint()
-        # done and unresolved are both materialized now — this round's
-        # cache is no longer referenced (long-lived sessions run many
-        # queries; leaked caches accumulate)
+        )
+        done_m = state.filter(F.col("_st") == 1) \
+            .select(probe_id_col, target_id_col, "dist", "rank")
+        results = done_m if results is None else results.unionByName(done_m)
+        unresolved = state.filter(F.col("_st") == 0) \
+            .select(probe_id_col, *probe_side)
+        # both halves are materialized — this round's cache is no longer
+        # referenced (long-lived sessions run many queries; leaked caches
+        # accumulate)
         ranked.unpersist()
-        empty = unresolved.isEmpty()
+        empty = unresolved.isEmpty()  # metadata-cheap on the checkpoint
         if _DEBUG:
             print(f"[knn] round {rounds} res={res_i} r={r} "
                   f"wall={time.time() - t_round:.2f}s empty={empty}", flush=True)
         if empty:
             break
-    if not used_fallback:
-        # every per-round output is checkpointed — the target cache and
-        # the initial probe cache have no remaining consumers
-        t.unpersist()
-        unresolved0.unpersist()
+    # every returned branch is materialized (round checkpoints / fallback
+    # checkpoint) — the target cache and the initial probe cache have no
+    # remaining consumers on ANY path (unpersist is a safe no-op when the
+    # loop never ran)
+    t.unpersist()
+    unresolved0.unpersist()
     return results if results is not None else probes.sparkSession.createDataFrame(
         [], schema=f"{probe_id_col} string, {target_id_col} string, dist double, rank int")

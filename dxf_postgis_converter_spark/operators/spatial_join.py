@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..geometry.predicates import points_in_polygon
+from ..geometry.predicates import points_covered
 from ..geometry.wkb import parse_wkb
 from ..index.grid import cell_col, covers_col
 
@@ -72,18 +72,25 @@ def _refine_batches(batches, x_col: str, y_col: str, bc_rings=None):
     Python-boundary volume ~100x and could saturate the worker socket in
     BOTH directions at once, deadlocking Spark's single-threaded
     PythonRunner flow control (observed at sf0.4/local[2]). None → the
-    wkb travels as a candidate column (huge-zone-set fallback)."""
-    ring_cache: dict[str, np.ndarray] = {}
+    wkb travels as a candidate column (huge-zone-set fallback); a zone
+    missing from the broadcast also falls back to the per-row column when
+    the candidates carry one (defensive: a zone inserted between the
+    driver's collect and the refine)."""
+    geom_cache: dict[str, object] = {}
 
-    def ring_of(zid, grp):
-        ring = ring_cache.get(zid)
-        if ring is None:
-            wkb = bc_rings.value[zid] if bc_rings is not None \
-                else bytes(grp["geometry_wkb"].iloc[0])
-            code, rings = parse_wkb(bytes(wkb))
-            ring = rings[0][:, :2]
-            ring_cache[zid] = ring
-        return ring
+    def geom_of(zid, grp):
+        geom = geom_cache.get(zid)
+        if geom is None:
+            wkb = bc_rings.value.get(zid) if bc_rings is not None else None
+            if wkb is None:
+                if "geometry_wkb" not in grp:
+                    raise KeyError(
+                        f"zone {zid!r} absent from ring broadcast and no "
+                        f"per-row geometry_wkb column on the candidates")
+                wkb = bytes(grp["geometry_wkb"].iloc[0])
+            _, geom = parse_wkb(bytes(wkb))  # all rings + MultiPolygon parts
+            geom_cache[zid] = geom
+        return geom
 
     for pdf in batches:
         if len(pdf) == 0:
@@ -102,8 +109,8 @@ def _refine_batches(batches, x_col: str, y_col: str, bc_rings=None):
             )
         rest = pdf[~is_rect]
         for zid, grp in rest.groupby("zone_id", sort=False):
-            keep[grp.index.to_numpy()] = points_in_polygon(
-                grp[x_col].to_numpy(), grp[y_col].to_numpy(), ring_of(zid, grp))
+            keep[grp.index.to_numpy()] = points_covered(
+                grp[x_col].to_numpy(), grp[y_col].to_numpy(), geom_of(zid, grp))
         yield pdf[keep]
 
 
@@ -127,7 +134,9 @@ def point_in_polygon_join(
     ``max_ring_broadcast`` zones (driver-guarded; beyond it the wkb
     falls back to per-row carriage and the cogroup-by-zone design in the
     module doc becomes the right tool)."""
-    nonrect_rows = (zones.filter(F.col("kind") != "rect")
+    # NULL-kind zones are non-rect too (a plain != would drop them from the
+    # broadcast while the refine still routes them to the polygon branch)
+    nonrect_rows = (zones.filter(F.col("kind").isNull() | (F.col("kind") != "rect"))
                     .select("zone_id", "geometry_wkb")
                     .limit(MAX_RING_BROADCAST + 1).collect())
     bc_rings = None

@@ -300,6 +300,23 @@ def synthetic_asset_meta(i: int, seed: int = 42):
     return kind, payload, width, height, duration_ms
 
 
+def _expected_pixels(i: int, payload: bytes, w: int, h: int):
+    """Expected decoded raster of image asset i — derived from the SPEC,
+    not the engine's codec: PNG-bearing assets (i % 9 == 0) carry the
+    documented gradient formula pix[y,x,c] = (3x+7y+11c+i) mod 256 (the
+    engine round-trips these through actual PNG encode/decode); the rest
+    take the deterministic-fake path (blake2b-seeded PRNG stream)."""
+    import numpy as np
+    if i % 9 == 0:
+        ys = np.arange(h, dtype=np.int64)[:, None, None]
+        xs = np.arange(w, dtype=np.int64)[None, :, None]
+        cs = np.arange(3, dtype=np.int64)[None, None, :]
+        return ((3 * xs + 7 * ys + 11 * cs + i) % 256).astype(np.uint8)
+    pix_seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    return np.random.default_rng(pix_seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
 def image_feature_rows(n: int, dim: int = 64, seed: int = 42):
     """(asset_id, width, height, feat_sum) for every image asset in
     range(n): fake-decode (blake2b-seeded pixel stream), g×g channel-mean
@@ -311,9 +328,7 @@ def image_feature_rows(n: int, dim: int = 64, seed: int = 42):
         kind, payload, w, h, _ = synthetic_asset_meta(i, seed)
         if kind != "image":
             continue
-        pix_seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
-        img = np.random.default_rng(pix_seed).integers(
-            0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.float32)
+        img = _expected_pixels(i, payload, w, h).astype(np.float32)
         gh, gw = max(h // g, 1), max(w // g, 1)
         pooled = img[: g * gh, : g * gw].reshape(g, gh, g, gw, 3).mean(axis=(1, 3, 4))
         vec = pooled.flatten()
@@ -336,9 +351,7 @@ def resized_image_rows(n: int, out_w: int, out_h: int, seed: int = 42):
         kind, payload, w, h, _ = synthetic_asset_meta(i, seed)
         if kind != "image":
             continue
-        pix_seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
-        img = np.random.default_rng(pix_seed).integers(
-            0, 256, size=(h, w, 3), dtype=np.uint8)
+        img = _expected_pixels(i, payload, w, h)
         ys = (np.arange(out_h) * img.shape[0] // out_h)
         xs = (np.arange(out_w) * img.shape[1] // out_w)
         resized = img[ys][:, xs]

@@ -120,3 +120,106 @@ def test_audio_stats(assets):
     st = audio_stats(assets).collect()
     assert len(st) == assets.filter("kind = 'audio'").count()
     assert all(r.n_samples > 0 and r.rms > 0 for r in st)
+
+
+def test_png_roundtrip_and_filters():
+    """encode_png → decode_png is the identity; the decoder also reverses
+    Sub/Up/Average/Paeth-filtered scanlines (what real encoders emit)."""
+    import struct
+    import zlib
+
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        decode_png, encode_png, gradient_pixels,
+    )
+
+    img = gradient_pixels(23, 17, 9)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    # re-encode the same raster with each filter type per scanline
+    rng = np.random.default_rng(7)
+    img2 = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h, w = img2.shape[:2]
+    stride = w * 3
+
+    def filt(ftype, line, prev):
+        line = line.astype(np.int32)
+        out = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(line[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(line[x]) - pred) & 0xFF
+        return out
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = (y % 4) + 1
+        line = img2[y].reshape(-1)
+        raw += bytes([ftype]) + filt(ftype, line, prev).tobytes()
+        prev = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(png) == img2).all()
+
+
+def test_png_assets_decode_for_real(assets):
+    """id%9==0 image assets carry true PNG bytes whose decode (real codec
+    or spec fallback — identical by losslessness) yields the documented
+    gradient, NOT the blake2b fake."""
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        _decode_image, gradient_pixels,
+    )
+
+    row = assets.filter("asset_id = 'asset_00000009'").first()
+    assert row.kind == "image" and bytes(row.payload[:4]) == b"\x89PNG"
+    got = _decode_image(bytes(row.payload), row.meta.width, row.meta.height)
+    assert (got == gradient_pixels(row.meta.width, row.meta.height, 9)).all()
+
+
+def test_pil_path_would_match_fallback(monkeypatch):
+    """Wherever PIL appears, its decode of our PNG must equal the spec
+    fallback's — simulate a PIL whose open() is our own spec decoder fed
+    through an independent buffer, asserting the seam routes PNGs to it."""
+    import io
+
+    import dxf_postgis_converter_spark.functions.multimodal as mm
+
+    calls = []
+
+    class FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self.arr
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            data = buf.read()
+            calls.append(len(data))
+            return FakeImg(mm.decode_png(data))
+
+    monkeypatch.setattr(mm, "_PIL_Image", FakePIL)
+    img = mm.gradient_pixels(12, 8, 0)
+    png = mm.encode_png(img)
+    got = mm._decode_image(png, 12, 8)
+    assert calls and (got == img).all()

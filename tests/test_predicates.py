@@ -55,3 +55,30 @@ def test_polygon_bbox():
     assert polygon_bbox_overlap(SQUARE, 8, 8, 15, 15)
     assert not polygon_bbox_overlap(SQUARE, 11, 11, 15, 15)
     assert polygon_bbox_overlap(SQUARE, -5, -5, 15, 15)  # bbox contains polygon
+
+
+def test_points_covered_holes_and_multi():
+    """Even-odd over interior rings + any-part MultiPolygon semantics."""
+    import numpy as np
+
+    from dxf_postgis_converter_spark.geometry.predicates import points_covered
+    from dxf_postgis_converter_spark.geometry.wkb import (
+        parse_wkb, wkb_multipolygon, wkb_polygon,
+    )
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0, 0], [x1, y0, 0], [x1, y1, 0],
+                         [x0, y1, 0], [x0, y0, 0]], dtype=float)
+
+    _, holed = parse_wkb(wkb_polygon(rect(0, 0, 10, 10),
+                                     holes=[rect(3, 3, 7, 7)]))
+    px = np.array([1.0, 5.0, 3.0, 7.0, 0.0, 11.0])
+    py = np.array([1.0, 5.0, 5.0, 7.0, 0.0, 5.0])
+    assert points_covered(px, py, holed).tolist() == \
+        [True, False, True, True, True, False]
+
+    _, multi = parse_wkb(wkb_multipolygon([rect(0, 0, 2, 2),
+                                           rect(5, 5, 7, 7)]))
+    assert points_covered(np.array([1.0, 6.0, 3.5]),
+                          np.array([1.0, 6.0, 3.5]), multi).tolist() == \
+        [True, True, False]
