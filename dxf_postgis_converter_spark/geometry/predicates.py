@@ -67,7 +67,12 @@ def points_in_polygon_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray
 def points_covered(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
     """Containment against a parsed WKB geometry (``wkb.parse_wkb``
     output): POLYGON = list of rings (even-odd incl. holes);
-    MULTIPOLYGON = list of polygons (covered by ANY part)."""
+    MULTIPOLYGON = list of polygons (covered by ANY part).
+
+    Semantics contract: shapely ``covers`` (the reference joins PostGIS
+    geometries built via shapely — postgis_entity_converter.py polygon
+    path; SURVEY §2.10), i.e. boundary points count, including points on
+    an interior ring — the hole's boundary belongs to the polygon."""
     rings = geom
     if len(rings) and isinstance(rings[0], (list, tuple)):  # MULTIPOLYGON
         out = np.zeros(len(np.asarray(px)), dtype=bool)

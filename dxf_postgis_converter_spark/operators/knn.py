@@ -49,59 +49,114 @@ def knn_join(
     target_id_col: str = "target_id",
     x_col: str = "x",
     y_col: str = "y",
-    max_rounds: int = 12,
+    max_rounds: int = 24,
     fine_res: int | None | str = "auto",
     hot_cell_threshold: int = 75_000,
 ) -> DataFrame:
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
-    target_id for determinism. fine_res (> res) prepends two rounds at a
-    finer grid — the dense-cell fast path (see module doc). The default
-    "auto" enables it (at res+4) only when the hottest coarse cell
-    exceeds hot_cell_threshold targets: fine rounds cost ~2 extra join
-    rounds of fixed overhead, which only pays once a hot cell would
-    otherwise flood the candidate join (measured on the bench corpus:
-    33k-point hot cells run 0.9s coarse vs 2.4s fine at sf0.1; 133k-point
-    cells run 29.6s coarse vs 10.9s fine at sf0.4). The density probe is
-    one hash-aggregate over the already-persisted target table."""
-    t0 = targets.select(
+    target_id for determinism. fine_res (> res) prepends a cascade of
+    finer-grid rounds — two per level, stepping fine_res, fine_res-2, …
+    down to res — the dense-cell fast path (see module doc and the
+    ladder note at `levels`). The default "auto" picks the depth from
+    the measured hot-cell density (densest fine cell ≈ max(32, 4k)
+    targets) and enables the cascade only when the hottest coarse cell
+    exceeds hot_cell_threshold targets: fine rounds cost extra rounds of
+    fixed overhead, which only pays once a hot cell would otherwise
+    flood the candidate join (measured on the bench corpus: 33k-point
+    hot cells run 0.9s coarse vs 2.4s fine at sf0.1; a 130k-point sheet
+    at 200k probes runs the first round 9.6s with the density-scaled
+    depth vs 30s at a fixed +4). The density probe is one
+    hash-aggregate over the already-persisted target table."""
+    # Resolution ladder: fine_res, fine_res-2, ..., down to res. Two
+    # rounds (r=1, 2) per level double the proven safe radius each round
+    # with NO gaps — jumping straight from a deep fine level to the
+    # coarse grid leaves probes near (but not inside) the dense core
+    # unresolved with safe radius ~2 cells, and the first coarse round
+    # then joins each of them against the hot cell's ENTIRE population
+    # (measured: a 166s round at 200k probes/130k-point sheet). At level
+    # L only probes whose 5th-NN exceeds the previous level's safe
+    # radius remain, so the hot region's contribution stays bounded.
+    auto = fine_res == "auto"
+    if auto:
+        # candidate even-offset levels, decided AFTER the density probe —
+        # precomputing their (cheap, 8-byte) cell columns lets the probe
+        # run on the persisted cache instead of as a second full scan of
+        # the target table (scan-bound I/O was ~1/3 of the fit's fixed
+        # cost at 200k probes/local[2])
+        cand_levels = sorted({min(res + o, 16) for o in (2, 4, 6, 8)}
+                             - {res}, reverse=True)
+    elif fine_res:
+        cand_levels = []
+        L = fine_res
+        while L > res:
+            cand_levels.append(L)
+            L -= 2
+    else:
+        cand_levels = []
+    t = targets.select(
         F.col(target_id_col),
         F.col(x_col).alias("t_x"),
         F.col(y_col).alias("t_y"),
         cell_col(F.col(x_col), F.col(y_col), res).alias(f"cell_{res}"),
-    )
-    if fine_res == "auto":
-        # density probe straight off the scan (scan+agg, no cache write;
-        # at cluster scale this is the query you'd answer from catalog
-        # column statistics instead)
+        *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"cell_{ri}")
+          for ri in cand_levels],
+    ).persist()
+    if auto:
         t_probe = time.time() if _DEBUG else 0.0
-        hottest = (t0.groupBy(f"cell_{res}").count()
+        # ONE action: materializes the target cache AND answers the
+        # density question (at cluster scale this is the query you'd
+        # answer from catalog column statistics instead)
+        hottest = (t.groupBy(f"cell_{res}").count()
                    .agg(F.max("count")).first()[0] or 0)
-        fine_res = res + 4 if hottest > hot_cell_threshold else None
+        if hottest > hot_cell_threshold:
+            # split the hot cell until its densest descendant holds a
+            # few dozen targets (assuming near-uniform density inside the
+            # sheet — each +1 res divides per-cell population ~4x): ring
+            # r=1 then yields ~9·target candidates per hot probe instead
+            # of hundreds. A fixed +4 depth left ~325 targets/cell on a
+            # 130k-point sheet → ~3k candidates/probe → an 87M-row round-1
+            # join at 200k probes, THE wall of the large-probe benchmark.
+            import math
+            target = max(32, 4 * k)
+            depth = max(4, math.ceil(math.log(hottest / target, 4)))
+            depth += depth % 2  # even offsets match the precomputed cells
+            fine_res = min(res + depth, 16)
+        else:
+            fine_res = None
         if _DEBUG:
             print(f"[knn] density probe wall={time.time() - t_probe:.2f}s "
                   f"hottest={hottest} fine_res={fine_res}", flush=True)
-    levels = sorted({res} | ({fine_res} if fine_res else set()), reverse=True)
-    t = t0
-    if fine_res:
-        t = t0.withColumn(f"cell_{fine_res}",
-                          cell_col(F.col("t_x"), F.col("t_y"), fine_res))
-    # ONE persist of the final target layout; round 1's candidate join
-    # materializes the cache — no separate warm-up action
-    t = t.persist()
+    levels = sorted({res} | {L for L in cand_levels
+                             if fine_res and L <= fine_res}, reverse=True)
 
-    unresolved = unresolved0 = probes.select(
+    p0 = probes.select(
         F.col(probe_id_col),
         F.col(x_col).alias("p_x"),
         F.col(y_col).alias("p_y"),
-        *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"p_cell_{ri}") for ri in levels],
+    )
+    # A probe side arriving in fewer partitions than cores serializes
+    # round 1's cell/ring-explode work into those few tasks — a LIMIT
+    # upstream (GlobalLimit → ONE partition) made the whole probe prep
+    # single-threaded, which measured as a per-probe cost that scaled
+    # with input but not with cores (f 6.5s→11.7s going 100k→200k
+    # probes, capping 2→8 efficiency at ~0.76). One narrow shuffle of
+    # the small probe table restores per-core balance.
+    par = probes.sparkSession.sparkContext.defaultParallelism
+    if p0.rdd.getNumPartitions() < par:
+        p0 = p0.repartition(par * 4)  # 4 task waves smooth stragglers
+    unresolved = unresolved0 = p0.select(
+        "*",
+        *[cell_col(F.col("p_x"), F.col("p_y"), ri).alias(f"p_cell_{ri}") for ri in levels],
     ).persist()
 
     def schedule():
-        if fine_res:
-            yield fine_res, 1
-            yield fine_res, 2
+        for ri in levels:
+            if ri == res:
+                break
+            yield ri, 1
+            yield ri, 2
         r = 1
         while True:
             yield res, r

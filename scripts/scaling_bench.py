@@ -82,8 +82,14 @@ def main() -> None:
         print(f"local[{cpus}]: spatial {r['geoms_per_sec']} geoms/sec, "
               f"{r['docs_per_sec']} docs/sec, total {r['value']}s", file=sys.stderr)
     lo, hi = LEVELS[0], LEVELS[-1]
-    eff = (results[hi]["geoms_per_sec"] / results[lo]["geoms_per_sec"]) / (hi / lo)
-    eff_docs = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    # BENCH_STAGES-filtered runs skip the spatial stages, so geoms_per_sec
+    # is 0 there — fall back to inverse total wall as the throughput basis
+    def tput(r):
+        return r["geoms_per_sec"] or 1.0 / r["value"]
+
+    eff = (tput(results[hi]) / tput(results[lo])) / (hi / lo)
+    eff_docs = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo) \
+        if results[lo]["docs_per_sec"] else eff
 
     # per-stage efficiency lo→hi: wall-time speedup over the core ratio
     stage_eff = {

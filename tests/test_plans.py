@@ -1,0 +1,124 @@
+"""Physical-plan regression guards — the PLANS.md evidence, asserted.
+
+A correctness-green operator can silently regress into a bad plan (lost
+filter pushdown, broadcast flipping to shuffle, a second Python stage);
+at 100 TB those are outage-grade. Each test pins the plan property that
+makes the operator scale, not exact plan text.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_decode_plan_one_python_stage_pushdown(spark, docs_df, tmp_path):
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+
+    plan = plan_of(decode_documents(docs_df))
+    # ONE Arrow-batched Python crossing, no row-at-a-time UDF (formatted
+    # mode lists every node twice: once in the tree, once in the details)
+    assert plan_of(decode_documents(docs_df), "simple").count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scan-level pruning needs a real file scan (the in-memory fixture has
+    # no scan node): only (doc_id, spans) read, IsNotNull pushed to parquet
+    pq = str(tmp_path / "docs")
+    docs_df.write.parquet(pq)
+    plan_pq = plan_of(decode_documents(spark.read.parquet(pq)))
+    assert "PushedFilters: [IsNotNull(spans)]" in plan_pq
+    assert "ReadSchema: struct<doc_id:string,spans:array" in plan_pq
+
+
+def test_pip_broadcast_plan(entities_df, zones_df):
+    from dxf_postgis_converter_spark.operators.spatial_join import (
+        point_in_polygon_join,
+    )
+
+    pts = entities_df.filter("geom_type = 'POINT'").select(
+        "doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    plan = plan_of(point_in_polygon_join(pts, zones_df, res=6))
+    # cover table broadcast: the 10^12-row probe side is never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # ONE Arrow refine pass over all candidate kinds
+    assert plan_of(point_in_polygon_join(pts, zones_df, res=6),
+                   "simple").count("MapInPandas") == 1
+
+
+def test_pip_salted_plan_shuffles_without_broadcast(spark, entities_df, zones_df):
+    from dxf_postgis_converter_spark.operators.spatial_join import (
+        point_in_polygon_join,
+    )
+
+    pts = entities_df.filter("geom_type = 'POINT'").select(
+        "doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    # broadcast_zones=False doesn't FORCE a shuffle — at test scale
+    # Catalyst still auto-broadcasts the tiny cover side (correct). Pin
+    # the huge-polygon-side regime the way a 10^12-row run would see it:
+    # cover stats above the auto-broadcast threshold.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = point_in_polygon_join(
+            pts, zones_df, res=6, broadcast_zones=False, n_salt=8)
+        plan = plan_of(df, "simple")  # simple mode shows partitioning args
+        # a real shuffle join keyed on (cell, salt): the probe stream of a
+        # hot cell spreads across n_salt reducers
+        assert "BroadcastHashJoin" not in plan
+        assert "Exchange hashpartitioning(cell" in plan
+        assert "salt" in plan
+        assert plan.count("MapInPandas") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tile_pyramid_partial_aggregation(entities_df):
+    from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+
+    plan = plan_of(
+        tile_pyramid_counts(entities_df.filter("xmin is not null"),
+                            z_max=8, z_min=6))
+    # map-side combine before EVERY exchange: partial_count upstream,
+    # final count downstream — the shuffle carries per-tile partials,
+    # never raw entity rows
+    assert "partial_count" in plan
+    assert "Exchange" in plan
+
+
+def test_no_row_python_udfs_anywhere(entities_df, zones_df, docs_df):
+    """The north-rule constraint: vectorized pandas/Arrow UDFs only.
+    Every headline operator's plan must be free of row-at-a-time Python
+    evaluation nodes."""
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.functions.text import (
+        lang_id, quality_score, token_count,
+    )
+    from dxf_postgis_converter_spark.operators.dedup import minhash_lsh_pairs
+    from dxf_postgis_converter_spark.operators.spatial_join import (
+        point_in_polygon_join,
+    )
+    from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+
+    pts = entities_df.filter("geom_type = 'POINT'").select(
+        "doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    texts = docs_df.select(
+        "doc_id", F.concat_ws(" ", F.transform(
+            "spans", lambda s: F.coalesce(s["text"], F.lit("")))).alias("text"))
+    dfs = [
+        decode_documents(docs_df),
+        point_in_polygon_join(pts, zones_df, res=6),
+        tile_pyramid_counts(entities_df.filter("xmin is not null"), 8, 6),
+        texts.select(lang_id(F.col("text")), quality_score(F.col("text")),
+                     token_count(F.col("text"))),
+        minhash_lsh_pairs(texts, num_hashes=16, bands=4),
+    ]
+    for df in dfs:
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, plan[:2000]
