@@ -491,6 +491,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return point_in_polygon_join(pts, zones, res=6).select("doc_id", "handle", "zone_id")
     q["q_pip_holed_multi"] = q_pip_holed_multi
 
+    def q_pip_poly_zones(spark, sf_dir):  # J10 over tessellated-circle and
+        # concave-star zones — the general-polygon branch of the exact
+        # refine, gated against an independent params-rebuilt ray caster
+        # (replicas.pip_poly_zone_rows)
+        ents = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
+        pts = ents.select("doc_id", "handle", F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+        zones = corpus_zones(spark, sf_dir).filter(F.col("kind").isin("circle", "poly"))
+        return point_in_polygon_join(pts, zones, res=6).select("doc_id", "handle", "zone_id")
+    q["q_pip_poly_zones"] = q_pip_poly_zones
+
     def q_pip_stream(spark, sf_dir):  # streaming decode→PIP through the
         # exactly-once _batch-partitioned parquet sink (VERDICT r2 item 5:
         # the lineage-rule writer, not the memory sink), batch-equal
@@ -1366,6 +1376,28 @@ def oracle_sql() -> dict[str, str]:
           ON (p.x BETWEEN mz.ax0 AND mz.ax1 AND p.y BETWEEN mz.ay0 AND mz.ay1)
           OR (p.x BETWEEN mz.bx0 AND mz.bx1 AND p.y BETWEEN mz.by0 AND mz.by1)
     """
+
+    # general-polygon PIP (tessellated circles + concave stars): the
+    # expected rows come from an INDEPENDENT ray caster over rings
+    # rebuilt from zone params (replicas.pip_poly_zone_rows) — point
+    # extraction shares the rect oracle's json path, classification does
+    # not touch the engine's WKB or predicates code
+    import duckdb as _dd
+
+    from dxf_postgis_converter_spark import replicas as _replicas
+
+    _pts_sql = f"""
+        SELECT doc_id, handle,
+               CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]') AS DOUBLE) AS x,
+               CAST(json_extract(NULLIF(media_ref,''),'$.geometries.location[1]') AS DOUBLE) AS y
+        FROM ({_SQL_MEDIA}) WHERE entity_type = 'POINT'"""
+    _poly_pts = _dd.sql(_pts_sql).fetchall()
+    _poly_zones = _dd.sql(
+        f"SELECT zone_id, kind, params_json FROM {ZONES_PQ} "
+        "WHERE kind IN ('circle', 'poly') ORDER BY zone_id").fetchall()
+    o["q_pip_poly_zones"] = _values_sql(
+        _replicas.pip_poly_zone_rows(_poly_pts, _poly_zones),
+        [("doc_id", "VARCHAR"), ("handle", "VARCHAR"), ("zone_id", "VARCHAR")])
 
     o["q_selection_cascade"] = f"""
         SELECT doc_id, COUNT(*) AS n_selected

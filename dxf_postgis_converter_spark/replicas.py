@@ -386,3 +386,55 @@ def frame_count_rows(n: int, every_ms: int = 1000, seed: int = 42):
             continue
         out.append((f"asset_{i:08d}", (dur - 1) // every_ms + 1))
     return out
+
+
+def _zone_ring(kind: str, params_json: str):
+    """Rebuild a circle/star zone's ring from its params — NOT from the
+    engine's WKB: circle = the documented 100-point linspace tessellation
+    (reference CIRCLE converter contract, postgis_entity_converter.py
+    261-282); poly = the params ring. corpus.py build_zones pins both."""
+    import json
+
+    import numpy as np
+    p = json.loads(params_json)
+    if kind == "circle":
+        ang = np.linspace(0.0, 2.0 * np.pi, 100)
+        return np.stack([p["cx"] + p["r"] * np.cos(ang),
+                         p["cy"] + p["r"] * np.sin(ang)], axis=1)
+    return np.asarray(p["ring"], dtype=np.float64)
+
+
+def pip_poly_zone_rows(points, zones):
+    """Expected (doc_id, handle, zone_id) rows of the PIP join against
+    circle/star zones: boundary-inclusive even-odd containment,
+    reimplemented here against params-rebuilt rings (the engine ray-casts
+    rings parsed from WKB — independent data path AND code path)."""
+    import numpy as np
+    out = []
+    if not points:
+        return out
+    px = np.array([r[2] for r in points], dtype=np.float64)
+    py = np.array([r[3] for r in points], dtype=np.float64)
+    for zone_id, kind, params_json in zones:
+        ring = _zone_ring(kind, params_json)
+        if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (py[:, None] - y1[None, :]) \
+                * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+        inside = ((straddle & (px[:, None] < xint)).sum(axis=1) % 2) == 1
+        # boundary-inclusive: |cross| tiny and within the segment bbox
+        dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+        cross = (px[:, None] - x1[None, :]) * dy - (py[:, None] - y1[None, :]) * dx
+        scale = np.maximum(np.abs(dx), np.abs(dy)) + 1.0
+        within = ((np.minimum(x1, x2)[None, :] - 1e-12 <= px[:, None])
+                  & (px[:, None] <= np.maximum(x1, x2)[None, :] + 1e-12)
+                  & (np.minimum(y1, y2)[None, :] - 1e-12 <= py[:, None])
+                  & (py[:, None] <= np.maximum(y1, y2)[None, :] + 1e-12))
+        on_edge = ((np.abs(cross) <= 1e-12 * scale) & within).any(axis=1)
+        for i in np.nonzero(inside | on_edge)[0]:
+            out.append((points[i][0], points[i][1], zone_id))
+    return out
