@@ -39,6 +39,7 @@ from dxf_postgis_converter_spark.operators.similarity import brute_force_topk
 from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
 from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
 from dxf_postgis_converter_spark.session import get_spark
+from dxf_postgis_converter_spark.sources.entity_store import INTERMEDIATE_CODEC
 from dxf_postgis_converter_spark.sources.tables import load_table, sf_of_dir
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,13 +115,16 @@ def main() -> None:
         timed("decode", lambda: _force(decode_documents(docs, keep_media_ref=False)))
         if need_entities or _want("decode"):
             decode_documents(docs, keep_media_ref=False) \
-                .write.mode("overwrite").parquet(ents_path)
+                .write.mode("overwrite") \
+                .option("compression", INTERMEDIATE_CODEC).parquet(ents_path)
     elif _want("decode"):
         timed("decode", lambda: decode_documents(docs, keep_media_ref=False)
-              .write.mode("overwrite").parquet(ents_path))
+              .write.mode("overwrite")
+              .option("compression", INTERMEDIATE_CODEC).parquet(ents_path))
     elif need_entities:  # prep only, untimed
         decode_documents(docs, keep_media_ref=False) \
-            .write.mode("overwrite").parquet(ents_path)
+            .write.mode("overwrite") \
+            .option("compression", INTERMEDIATE_CODEC).parquet(ents_path)
     n_geoms = 0
     pts = None
     if need_entities or _want("decode"):

@@ -23,6 +23,15 @@ from ..index.grid import cell_col
 
 DEFAULT_PREFIX_RES = 3  # 8x8 grid → at most 64 + 1 partitions
 
+# Intermediate materializations (the entities table is re-read by every
+# downstream stage, then superseded) default to lz4: measured 4.5s vs
+# 26s (zstd, contended) / ~8.5s (zstd, quiet) for the sf0.1 decode write
+# at +33% size — write throughput beats storage for short-lived tables.
+# Final/exported tables keep the session-level zstd default (session.py).
+import os as _os
+
+INTERMEDIATE_CODEC = _os.environ.get("SPARK_GRAFT_INTERMEDIATE_CODEC", "lz4")
+
 
 def with_cell_prefix(entities: DataFrame, prefix_res: int = DEFAULT_PREFIX_RES) -> DataFrame:
     """Add the partition column: coarse cell of the bbox centre
@@ -43,7 +52,8 @@ def write_entities(entities: DataFrame, path: str,
     small files, the classic 10^12-row write mistake)."""
     with_cell_prefix(entities, prefix_res) \
         .repartition(F.col("cell_p")) \
-        .write.mode(mode).partitionBy("cell_p").parquet(path)
+        .write.mode(mode).partitionBy("cell_p") \
+        .option("compression", INTERMEDIATE_CODEC).parquet(path)
 
 
 def read_entities(spark: SparkSession, path: str) -> DataFrame:

@@ -257,3 +257,50 @@ def test_pip_matches_winding_on_concave(ring, pts):
         if _signed_min_edge_dist(xs[i], ys[i], ring) < 1e-6:
             continue  # boundary: inclusive vs strict semantics differ
         assert got[i] == _winding_contains(xs[i], ys[i], ring)
+
+
+# quantized to a 1/8 grid: the caster is boundary-inclusive within
+# eps≈1e-12·scale (shapely-covers semantics), so probe distances to edges
+# must be either exactly 0 or far beyond the eps band for the closed-form
+# comparison to be well-defined
+coord8 = st.integers(min_value=-8000, max_value=8000).map(lambda v: v / 8.0)
+frac8 = st.integers(min_value=1, max_value=7).map(lambda v: v / 16.0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ox0=coord8, oy0=coord8, px=coord8, py=coord8,
+    ow=st.integers(80, 4000).map(lambda v: v / 8.0),
+    oh=st.integers(80, 4000).map(lambda v: v / 8.0),
+    fx0=frac8, fy0=frac8,
+    fx1=frac8.map(lambda v: v + 0.5), fy1=frac8.map(lambda v: v + 0.5),
+)
+def test_points_covered_holed_rect_matches_box_algebra(
+        ox0, oy0, px, py, ow, oh, fx0, fy0, fx1, fy1):
+    """For an axis-aligned rect with an axis-aligned rect hole, covered ≡
+    inside the outer box (inclusive) AND NOT strictly inside the hole —
+    the generic even-odd caster must agree with this closed form."""
+    from dxf_postgis_converter_spark.geometry.predicates import points_covered
+    from dxf_postgis_converter_spark.geometry.wkb import parse_wkb, wkb_polygon
+
+    ox1, oy1 = ox0 + ow, oy0 + oh
+    hx0, hy0 = ox0 + fx0 * ow, oy0 + fy0 * oh
+    hx1, hy1 = ox0 + fx1 * ow, oy0 + fy1 * oh
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0, 0], [x1, y0, 0], [x1, y1, 0],
+                         [x0, y1, 0], [x0, y0, 0]])
+
+    _, geom = parse_wkb(wkb_polygon(rect(ox0, oy0, ox1, oy1),
+                                    holes=[rect(hx0, hy0, hx1, hy1)]))
+    # probe the random point plus structured probes (corners, hole
+    # boundary midpoints, hole center)
+    xs = np.array([px, ox0, ox1, (hx0 + hx1) / 2, hx0, hx1,
+                   (hx0 + hx1) / 2], dtype=np.float64)
+    ys = np.array([py, oy0, oy1, (hy0 + hy1) / 2, (hy0 + hy1) / 2,
+                   (hy0 + hy1) / 2, hy0], dtype=np.float64)
+    got = points_covered(xs, ys, geom)
+    inside_outer = (xs >= ox0) & (xs <= ox1) & (ys >= oy0) & (ys <= oy1)
+    strictly_in_hole = (xs > hx0) & (xs < hx1) & (ys > hy0) & (ys < hy1)
+    expected = inside_outer & ~strictly_in_hole
+    assert got.tolist() == expected.tolist()
