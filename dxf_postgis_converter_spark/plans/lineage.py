@@ -109,8 +109,11 @@ def run_stage(
     # dynamic overwrite: only the partitions present in `out` are replaced —
     # a half-written bucket from a crashed run is healed, finished buckets
     # from prior runs are untouched
+    from ..sources.entity_store import INTERMEDIATE_CODEC
+
     out.write.mode("overwrite") \
         .option("partitionOverwriteMode", "dynamic") \
+        .option("compression", INTERMEDIATE_CODEC) \
         .partitionBy(BUCKET_COL).parquet(out_dir)
 
     landed = (
