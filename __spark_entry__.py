@@ -511,7 +511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ck = tempfile.mkdtemp(prefix="doc_stream_ck_")
         out = tempfile.mkdtemp(prefix="doc_stream_out_")
         corpus_documents(spark, sf_dir).write.mode("overwrite").parquet(src)
-        zones = corpus_zones(spark, sf_dir).filter(F.col("kind") == "rect")
+        # rect + holed + multi: the ring-complete refine runs under
+        # Structured Streaming too, not just the batch path (circle/poly
+        # stay out only because their oracle is replica-VALUES, and the
+        # stream oracle is pure SQL)
+        zones = corpus_zones(spark, sf_dir).filter(
+            F.col("kind").isin("rect", "holed", "multi"))
         run_zone_hits_pipeline(spark, src, zones, out, ck, max_files_per_trigger=2)
         return spark.read.parquet(out).select("doc_id", "handle", "zone_id")
     q["q_pip_stream"] = q_pip_stream
@@ -1299,10 +1304,9 @@ def oracle_sql() -> dict[str, str]:
     # pipeline keeps every point-KIND geometry (geom_type == POINT), so
     # the oracle anchors each point-kind entity type at its insert/
     # location/center/base_point field (same pattern as the
-    # q_adaptive_cell_stats oracle).
-    o["q_pip_stream"] = f"""
-        SELECT p.doc_id AS doc_id, p.handle AS handle, z.zone_id AS zone_id
-        FROM (
+    # q_adaptive_cell_stats oracle). Zone side covers rect + holed +
+    # multi (same BETWEEN algebra as q_pip_holed_multi).
+    _STREAM_PTS = f"""
           SELECT doc_id, handle,
                  CAST(COALESCE(json_extract(NULLIF(media_ref,''),'$.geometries.location[0]'),
                                json_extract(NULLIF(media_ref,''),'$.geometries.insert[0]'),
@@ -1314,9 +1318,45 @@ def oracle_sql() -> dict[str, str]:
                                json_extract(NULLIF(media_ref,''),'$.geometries.base_point[1]')) AS DOUBLE) AS y
           FROM ({_SQL_MEDIA})
           WHERE entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT','SHAPE',
-                                'VIEWPORT','IMAGE','MULTILEADER')) p
+                                'VIEWPORT','IMAGE','MULTILEADER')"""
+    o["q_pip_stream"] = f"""
+        WITH p AS ({_STREAM_PTS}),
+        hz AS (
+          SELECT zone_id,
+                 CAST(json_extract(params_json,'$.outer[0]') AS DOUBLE) AS ox0,
+                 CAST(json_extract(params_json,'$.outer[1]') AS DOUBLE) AS oy0,
+                 CAST(json_extract(params_json,'$.outer[2]') AS DOUBLE) AS ox1,
+                 CAST(json_extract(params_json,'$.outer[3]') AS DOUBLE) AS oy1,
+                 CAST(json_extract(params_json,'$.hole[0]') AS DOUBLE) AS hx0,
+                 CAST(json_extract(params_json,'$.hole[1]') AS DOUBLE) AS hy0,
+                 CAST(json_extract(params_json,'$.hole[2]') AS DOUBLE) AS hx1,
+                 CAST(json_extract(params_json,'$.hole[3]') AS DOUBLE) AS hy1
+          FROM {ZONES_PQ} WHERE kind = 'holed'),
+        mz AS (
+          SELECT zone_id,
+                 CAST(json_extract(params_json,'$.parts[0][0]') AS DOUBLE) AS ax0,
+                 CAST(json_extract(params_json,'$.parts[0][1]') AS DOUBLE) AS ay0,
+                 CAST(json_extract(params_json,'$.parts[0][2]') AS DOUBLE) AS ax1,
+                 CAST(json_extract(params_json,'$.parts[0][3]') AS DOUBLE) AS ay1,
+                 CAST(json_extract(params_json,'$.parts[1][0]') AS DOUBLE) AS bx0,
+                 CAST(json_extract(params_json,'$.parts[1][1]') AS DOUBLE) AS by0,
+                 CAST(json_extract(params_json,'$.parts[1][2]') AS DOUBLE) AS bx1,
+                 CAST(json_extract(params_json,'$.parts[1][3]') AS DOUBLE) AS by1
+          FROM {ZONES_PQ} WHERE kind = 'multi')
+        SELECT p.doc_id AS doc_id, p.handle AS handle, z.zone_id AS zone_id
+        FROM p
         JOIN (SELECT zone_id, xmin, ymin, xmax, ymax FROM {ZONES_PQ} WHERE kind = 'rect') z
           ON p.x BETWEEN z.xmin AND z.xmax AND p.y BETWEEN z.ymin AND z.ymax
+        UNION ALL
+        SELECT p.doc_id AS doc_id, p.handle AS handle, hz.zone_id AS zone_id
+        FROM p JOIN hz
+          ON p.x BETWEEN hz.ox0 AND hz.ox1 AND p.y BETWEEN hz.oy0 AND hz.oy1
+         AND NOT (p.x > hz.hx0 AND p.x < hz.hx1 AND p.y > hz.hy0 AND p.y < hz.hy1)
+        UNION ALL
+        SELECT p.doc_id AS doc_id, p.handle AS handle, mz.zone_id AS zone_id
+        FROM p JOIN mz
+          ON (p.x BETWEEN mz.ax0 AND mz.ax1 AND p.y BETWEEN mz.ay0 AND mz.ay1)
+          OR (p.x BETWEEN mz.bx0 AND mz.bx1 AND p.y BETWEEN mz.by0 AND mz.by1)
     """
 
     o["q_pip_rect_zones"] = f"""
