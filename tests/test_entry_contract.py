@@ -53,3 +53,20 @@ def test_value_hash_properties():
     # dtype drift detected: ints rendered as float64 must NOT match
     assert value_hash(pd.DataFrame({"x": [1.0, 2.0], "s": ["a", "b"],
                                     "v": [2.5, 3.5]})) != h
+
+
+def test_new_registrations_enter_the_gate_window():
+    """The driver samples the FIRST 50 registered queries; a registration
+    absent from the ever-gated ledger must be auto-fronted into that
+    window (ADVICE r3: a hand-pinned front silently excludes new
+    queries forever)."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    unseen = [k for k in qs if k not in e._EVER_GATED]
+    for k in unseen:
+        assert qs.index(k) < 50, (k, qs.index(k))
+    # the hand-rotated front itself stays inside the window even when a
+    # few unseen keys prepend (window pressure is bounded by new-query
+    # count, which resets every round when the ledger is updated)
+    assert len(unseen) < 10
