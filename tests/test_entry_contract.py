@@ -70,3 +70,35 @@ def test_new_registrations_enter_the_gate_window():
     # few unseen keys prepend (window pressure is bounded by new-query
     # count, which resets every round when the ledger is updated)
     assert len(unseen) < 10
+    # ADVICE r4 (medium): auto-enroll must TRIM, not grow, the window —
+    # exactly 50 sampled slots after the prepend, with any displaced
+    # hand-picked names recorded explicitly
+    window = qs[:50]
+    assert len(set(window)) == 50
+    assert set(unseen) <= set(window)
+    for k in e._DISPLACED:
+        assert k not in window, f"displaced {k} still inside the window"
+
+
+def test_auto_enroll_trims_window_to_gate_sample(monkeypatch):
+    """Simulate a future round registering a brand-new query: the window
+    must stay exactly 50 deep, the new key must be inside it, and the
+    displaced hand-picked tail entry must be recorded — the r4 silent
+    eviction (51-deep front pushing q_minhash_pairs out) cannot recur."""
+    import __spark_entry__ as e
+
+    baseline = list(e.queries())[:50]
+    # shrink the ledger so one existing registration looks brand-new —
+    # equivalent to adding a query without touching _EVER_GATED
+    fake_new = baseline[-1]  # tail entry: expendable by construction
+    all_qs = set(e.queries())
+    probe = sorted((e._EVER_GATED & all_qs) - set(baseline))[0]
+    monkeypatch.setattr(
+        e, "_EVER_GATED", frozenset(e._EVER_GATED - {probe}))
+    qs = list(e.queries())
+    window = qs[:50]
+    assert len(set(window)) == 50
+    assert probe in window
+    assert window[0] == probe  # auto-enrolled keys lead the window
+    assert e._DISPLACED == [fake_new]
+    assert fake_new not in window
