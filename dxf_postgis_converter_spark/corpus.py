@@ -45,7 +45,10 @@ from .geometry.wkb import wkb_multipolygon, wkb_polygon
 SEED = 42
 # bump when build_zones/build_document output changes — stale on-disk
 # corpora (keyed only by sf) are rebuilt when the marker version differs
-CORPUS_VERSION = 2
+# v3: star-zone params_json carries the UNROUNDED ring coords (ADVICE r4:
+# 6dp rounding let a params-rebuilt oracle classify points within ~1e-6
+# of a star edge differently from the engine's exact-WKB ray cast)
+CORPUS_VERSION = 3
 EXTENT = 8192.0  # world is [0, EXTENT)^2 — power of two for the quadtree grid
 HOT_FRACTION = 0.05
 HOT_WINDOW = (1000.0, 1000.0, 1080.0, 1080.0)  # dense CAD sheet extent
@@ -369,8 +372,12 @@ def build_zones() -> pd.DataFrame:
         ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
         rad = np.where(np.arange(n) % 2 == 0, rng.uniform(300, 700), rng.uniform(80, 250))
         ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        # params ring must carry the EXACT float64 coords that land in the
+        # WKB (json round-trips doubles losslessly via repr) — the oracle
+        # replica rebuilds the ring from params, and any rounding here is
+        # a latent gate-parity mismatch for points within ~1 ulp of an edge
         add("poly", f"star_{i}", ring, {"cx": cx, "cy": cy,
-                                        "ring": [[round(float(x), 6), round(float(y), 6)] for x, y in ring]})
+                                        "ring": [[float(x), float(y)] for x, y in ring]})
 
     # holed polygons (axis-aligned rect with a rect hole) + a MultiPolygon
     # of two disjoint rects — VERDICT r3 item 2: the exact PIP refine must

@@ -406,9 +406,15 @@ def _zone_ring(kind: str, params_json: str):
 
 def pip_poly_zone_rows(points, zones):
     """Expected (doc_id, handle, zone_id) rows of the PIP join against
-    circle/star zones: boundary-inclusive even-odd containment,
-    reimplemented here against params-rebuilt rings (the engine ray-casts
-    rings parsed from WKB — independent data path AND code path)."""
+    circle/star zones: boundary-inclusive WINDING-NUMBER containment
+    (Sunday's signed-crossing algorithm), reimplemented here against
+    params-rebuilt rings. The engine's kernel is an even-odd ray cast
+    over WKB-parsed rings (geometry/predicates.py) — so this oracle
+    differs in data path, code path AND algorithm family (VERDICT r4
+    item 5: a re-derived even-odd twin could share a blind spot; for the
+    simple rings the corpus pins, wn != 0 ⟺ even-odd inside, while the
+    crossing bookkeeping — vertex handling, horizontal edges, left/right
+    strictness — is computed by different math)."""
     import numpy as np
     out = []
     if not points:
@@ -421,11 +427,17 @@ def pip_poly_zone_rows(points, zones):
             ring = ring[:-1]
         x1, y1 = ring[:, 0], ring[:, 1]
         x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1[None, :] + (py[:, None] - y1[None, :]) \
-                * (x2 - x1)[None, :] / (y2 - y1)[None, :]
-        inside = ((straddle & (px[:, None] < xint)).sum(axis=1) % 2) == 1
+        # isLeft: >0 when the point lies left of the directed edge
+        is_left = ((x2 - x1)[None, :] * (py[:, None] - y1[None, :])
+                   - (px[:, None] - x1[None, :]) * (y2 - y1)[None, :])
+        # upward edge crossing counts +1 when the point is strictly left;
+        # downward crossing counts -1 when strictly right (half-open
+        # y-ranges give each vertex to exactly one incident edge)
+        up = ((y1[None, :] <= py[:, None]) & (y2[None, :] > py[:, None])
+              & (is_left > 0))
+        down = ((y1[None, :] > py[:, None]) & (y2[None, :] <= py[:, None])
+                & (is_left < 0))
+        inside = (up.sum(axis=1) - down.sum(axis=1)) != 0
         # boundary-inclusive: |cross| tiny and within the segment bbox
         dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
         cross = (px[:, None] - x1[None, :]) * dy - (py[:, None] - y1[None, :]) * dx
