@@ -89,3 +89,76 @@ def test_knn_probe_on_target(spark):
     pdf = spark.createDataFrame([("p", 50.0, 50.0)], "probe_id string, x double, y double")
     top = knn_join(pdf, tdf, k=1, res=6).first()
     assert top.target_id == "t0" and top.dist == 0.0 and top.rank == 1
+
+
+def test_knn_dense_hot_cell_ladder_exact(spark):
+    """A dense hot cell triggers the auto multi-resolution ladder; the
+    result must still match brute force exactly (the ladder + dynamic
+    skip change the schedule, never the answer)."""
+    import dxf_postgis_converter_spark.operators.knn as knn_mod
+    rng = np.random.default_rng(9)
+    dense = rng.normal(loc=(700, 700), scale=12, size=(3000, 2))
+    sparse = rng.uniform(0, 8192, size=(200, 2))
+    targets = np.vstack([dense, sparse])
+    probes = np.vstack([
+        rng.normal(loc=(700, 700), scale=12, size=(25, 2)),  # in the core
+        rng.uniform(0, 8192, size=(25, 2)),                  # scattered
+    ])
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(targets)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=3, res=6, hot_cell_threshold=1000).collect()
+    sched = list(knn_mod._LAST_SCHEDULE)
+    # the ladder ran: at least one round at a finer grid than res
+    assert any(isinstance(s, int) and s > 6 for s, _ in sched), sched
+    exp = brute_knn(probes, targets, 3)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id, r.dist))
+    assert set(by_probe) == set(exp)
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t, _ in rows] == [t for t, _ in exp[pid]]
+
+
+def test_knn_ladder_skips_dead_levels(spark):
+    """Dynamic ladder (VERDICT r4 item 1a): once the dense-core probes
+    resolve at the deepest level, the remaining fine levels resolve <1%
+    of their entering probes and must be SKIPPED — the schedule jumps
+    straight to the coarse grid instead of paying 2 rounds per level."""
+    import dxf_postgis_converter_spark.operators.knn as knn_mod
+    rng = np.random.default_rng(3)
+    # one extreme hot cell (forces a deep ladder) + faraway sparse probes
+    # that only the coarse grid can resolve
+    dense = rng.normal(loc=(400, 400), scale=5, size=(5000, 2))
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(dense)],
+        "target_id string, x double, y double")
+    # all probes inside the core: they resolve at the deepest level(s)
+    probes = rng.normal(loc=(400, 400), scale=5, size=(40, 2))
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=3, res=4, hot_cell_threshold=1000).collect()
+    sched = list(knn_mod._LAST_SCHEDULE)
+    fine_levels_run = {s for s, _ in sched if isinstance(s, int) and s > 4}
+    # a full ladder from the auto depth would run every even level down
+    # to res; the skip rule must cut at least one dead level once
+    # everything resolves deep (all probes are in the core)
+    import math
+    hottest_depth = ((16 - 4) // 2) * 2
+    target = max(32, 12)
+    depth = max(4, math.ceil(math.log(5000 / target, 4)))
+    depth += depth % 2
+    full_ladder = {4 + o for o in range(2, min(depth, hottest_depth) + 1, 2)}
+    assert fine_levels_run < full_ladder or len(sched) < 2 * len(full_ladder) + 1, \
+        (sched, full_ladder)
+    # and the answers stay exact
+    exp = brute_knn(probes, dense, 3)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id))
+    assert set(by_probe) == set(exp)
