@@ -50,10 +50,54 @@ WORK = os.environ.get("BENCH_WORK_DIR", "/root/repo/data/bench_work")
 # where a full-pipeline pass per (level × repeat) would waste hours of
 # wall on stages not under test. Default: everything.
 STAGES = frozenset(filter(None, os.environ.get("BENCH_STAGES", "").split(","))) or None
+# contention gate (VERDICT r4 item 4): a stage whose best run was taken
+# while neighbors burned > this many cores gets bounded extra repeats,
+# and stays flagged "contended" if none of them ran quiet — load1 alone
+# cannot make that call because by mid-bench it is dominated by OUR own
+# 32-thread job, so the gate measures FOREIGN cpu directly (see _cpu_sample)
+FOREIGN_GATE = float(os.environ.get("BENCH_FOREIGN_GATE", "4.0"))
+MAX_EXTRA = int(os.environ.get("BENCH_MAX_EXTRA", "2"))
+_HZ = os.sysconf("SC_CLK_TCK")
 
 
 def _want(name: str) -> bool:
     return STAGES is None or name in STAGES
+
+
+def _cpu_sample():
+    """(busy_jiffies_all, busy_jiffies_ours, wall): total non-idle cpu of
+    the box (user+nice+system+irq+softirq+STEAL — steal captures
+    hypervisor neighbors directly) and the share burned by THIS process
+    tree (driver + Spark JVM + Python workers, found by ppid walk).
+    foreign cores over an interval = Δ(all - ours) / HZ / Δwall."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    busy_all = v[0] + v[1] + v[2] + v[5] + v[6] + (v[7] if len(v) > 7 else 0)
+    ppid, jiff = {}, {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                s = f.read().decode("latin1")
+        except OSError:
+            continue
+        fl = s[s.rindex(")") + 2:].split()
+        ppid[int(pid)] = int(fl[1])
+        # utime+stime of the live process PLUS cutime+cstime of its
+        # already-reaped children — a worker that exits mid-interval
+        # hands its jiffies to the parent's cutime, and dropping them
+        # would misattribute our own burn to the neighbors
+        jiff[int(pid)] = int(fl[11]) + int(fl[12]) + int(fl[13]) + int(fl[14])
+    mine = {os.getpid()}
+    grew = True
+    while grew:  # transitive closure over the ppid forest
+        grew = False
+        for p, pp in ppid.items():
+            if pp in mine and p not in mine:
+                mine.add(p)
+                grew = True
+    return busy_all, sum(jiff[p] for p in mine), time.time()
 
 
 def _force(df):
@@ -83,17 +127,35 @@ def main() -> None:
     # carries codegen/broadcast warmup a production job pays once.
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
+    contended_stages: list[str] = []
+
+    def one_run(fn):
+        load1 = round(os.getloadavg()[0], 2)
+        b0, o0, t0 = _cpu_sample()
+        fn()
+        b1, o1, t1 = _cpu_sample()
+        foreign = max(0.0, ((b1 - b0) - (o1 - o0)) / _HZ / max(t1 - t0, 1e-6))
+        return {"wall": round(t1 - t0, 3), "load1": load1,
+                "foreign_cores": round(foreign, 2)}
+
     def timed(name, fn, n=None):
         if not _want(name):
             return
-        runs = []
-        for _ in range(n or repeats):
-            load1 = round(os.getloadavg()[0], 2)
-            t0 = time.time()
-            fn()
-            runs.append({"wall": round(time.time() - t0, 3), "load1": load1})
+        runs = [one_run(fn) for _ in range(n or repeats)]
+        # contention gate: the best wall is only trustworthy if neighbors
+        # were quiet while it ran — retry (bounded) otherwise, and flag
+        # the stage if every attempt was contended (external load only
+        # ever INFLATES walls, so a quiet best run defends itself)
+        best = min(runs, key=lambda r: r["wall"])
+        extra = 0
+        while best["foreign_cores"] > FOREIGN_GATE and extra < MAX_EXTRA:
+            runs.append(one_run(fn))
+            extra += 1
+            best = min(runs, key=lambda r: r["wall"])
+        if best["foreign_cores"] > FOREIGN_GATE:
+            contended_stages.append(name)
         stage_runs[name] = runs
-        times[name] = min(r["wall"] for r in runs)
+        times[name] = best["wall"]
 
     # stages that read the persisted entities table — when only e.g.
     # minhash/ann are under test, the decode prep is skipped entirely
@@ -246,6 +308,17 @@ def main() -> None:
         "fused_runs": [r["wall"] for r in stage_runs.get("fused_pipeline", [])],
         "stage_runs": stage_runs,
         "cpus": CPUS,
+        # run-protocol provenance (ADVICE r4): totals are best-of-N
+        # per-stage minima, so artifacts are only comparable when
+        # repeats AND the stage filter match
+        "repeats": repeats,
+        "stages_filter": sorted(STAGES) if STAGES else None,
+        "foreign_gate_cores": FOREIGN_GATE,
+        # true when any stage's best wall was taken while neighbors
+        # burned > foreign_gate_cores even after bounded retries —
+        # the committed headline defends itself (VERDICT r4 item 4)
+        "contended": bool(contended_stages),
+        "contended_stages": contended_stages,
     }))
     spark.stop()
 
