@@ -112,36 +112,39 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("truncated PNG")
     raw = zlib.decompress(b"".join(idat))
     stride = w * 3
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        ftype = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
-        pos += 1 + stride
-        if ftype == 1:     # Sub
-            for x in range(3, stride):
-                line[x] = (line[x] + line[x - 3]) & 0xFF
-        elif ftype == 2:   # Up
-            line = (line + prev) & 0xFF
-        elif ftype == 3:   # Average
-            for x in range(stride):
-                left = int(line[x - 3]) if x >= 3 else 0
-                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:   # Paeth
-            for x in range(stride):
-                a = int(line[x - 3]) if x >= 3 else 0
-                b = int(prev[x])
-                c = int(prev[x - 3]) if x >= 3 else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter {ftype}")
-        out[y] = line
-        prev = out[y]
-    return out.reshape(h, w, 3)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("truncated PNG scanlines")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = lines[:, 0].astype(np.int16)
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter {int(ftypes.max())}")
+    deltas = lines[:, 1:].reshape(h, w, 3).astype(np.int16)
+    if not ftypes.any():  # filter 0 everywhere (what encode_png emits)
+        return deltas.astype(np.uint8)
+    # Filter reversal without a per-pixel Python loop (VERDICT r4 item
+    # 6): pixel (y, j) depends only on left (y, j-1), up (y-1, j) and
+    # up-left (y-1, j-1) — all strictly smaller in y+j — so every
+    # anti-diagonal is internally independent and reconstructs in ONE
+    # vectorized step. h+w-1 numpy steps replace the h·w Python loop;
+    # mixed per-row filter types are handled by selecting each row's
+    # predictor inside the diagonal (filters only ever read
+    # already-final neighbors, so interleaving rows is exact).
+    O = np.zeros((h + 1, w + 1, 3), dtype=np.int16)  # padded zero border
+    for d in range(h + w - 1):
+        ys = np.arange(max(0, d - (w - 1)), min(h, d + 1))
+        js = d - ys
+        a = O[ys + 1, js]      # left   (padded coords)
+        b = O[ys, js + 1]      # up
+        c = O[ys, js]          # up-left
+        f = ftypes[ys][:, None]  # (m, 1) broadcasting over the 3 channels
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        paeth = np.where((pa <= pb) & (pa <= pc), a,
+                         np.where(pb <= pc, b, c))
+        pred = np.select([f == 1, f == 2, f == 3, f == 4],
+                         [a, b, (a + b) >> 1, paeth], default=0)
+        O[ys + 1, js + 1] = (deltas[ys, js] + pred) & 0xFF
+    return O[1:, 1:].astype(np.uint8)
 
 
 def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:

@@ -223,3 +223,56 @@ def test_pil_path_would_match_fallback(monkeypatch):
     png = mm.encode_png(img)
     got = mm._decode_image(png, 12, 8)
     assert calls and (got == img).all()
+
+
+def test_png_wavefront_decoder_large_mixed_filters():
+    """The vectorized anti-diagonal decoder must reverse a large image
+    with ALL five filter types interleaved (incl. filter-0 rows between
+    filtered rows — exercises the padded-border and row-mask paths)."""
+    import struct
+    import zlib
+
+    from dxf_postgis_converter_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(42)
+    h, w = 64, 121
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = w * 3
+
+    def filt(ftype, line, prev):
+        out = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(line[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(line[x]) - pred) & 0xFF
+        return out
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.uint8)
+    ftypes = rng.integers(0, 5, size=h)
+    for y in range(h):
+        line = img[y].reshape(-1)
+        raw += bytes([int(ftypes[y])]) + filt(int(ftypes[y]), line, prev).tobytes()
+        prev = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
