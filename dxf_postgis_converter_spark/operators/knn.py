@@ -84,6 +84,7 @@ def knn_join(
     # L only probes whose 5th-NN exceeds the previous level's safe
     # radius remain, so the hot region's contribution stays bounded.
     auto = fine_res == "auto"
+    n_targets = None  # known after the auto density probe
     # deepest even offset the grid supports (res 16 is the global cap);
     # the auto depth below clamps to this SAME bound, so the ladder can
     # always reach the depth the density estimate asks for (ADVICE r4:
@@ -114,43 +115,77 @@ def knn_join(
         *[cell_col(F.col(x_col), F.col(y_col), ri).alias(f"cell_{ri}")
           for ri in cand_levels],
     ).persist()
+    spark = probes.sparkSession
+    depth_df = None
     if auto:
         t_probe = time.time() if _DEBUG else 0.0
-        # ONE action: materializes the target cache AND answers the
-        # density question (at cluster scale this is the query you'd
-        # answer from catalog column statistics instead)
-        hottest = (t.groupBy(f"cell_{res}").count()
-                   .agg(F.max("count")).first()[0] or 0)
+        # ONE action: materializes the target cache AND returns the
+        # per-coarse-cell population (at cluster scale this collect is
+        # the query you'd answer from catalog column statistics / a
+        # maintained stats table; ≤4^res rows, ≤65k at the res-8 cap)
+        counts = (t.groupBy(F.col(f"cell_{res}").alias("c"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+        hottest = max((r["n"] for r in counts), default=0)
+        n_targets = sum(r["n"] for r in counts)
         if hottest > hot_cell_threshold:
-            # split the hot cell until its densest descendant holds a
-            # few dozen targets (assuming near-uniform density inside the
-            # sheet — each +1 res divides per-cell population ~4x): ring
-            # r=1 then yields ~9·target candidates per hot probe instead
-            # of hundreds. A fixed +4 depth left ~325 targets/cell on a
-            # 130k-point sheet → ~3k candidates/probe → an 87M-row round-1
-            # join at 200k probes, THE wall of the large-probe benchmark.
+            # Per-probe starting resolution (VERDICT r4 item 1): split a
+            # cell until its densest descendant holds a few dozen targets
+            # (each +1 res divides per-cell population ~4x) — but assign
+            # that depth PER COARSE CELL from its own population instead
+            # of starting every probe at the globally-hottest depth. The
+            # old global schedule pushed all 200k bench probes through
+            # res+6 rounds that only the ~5% inside the dense sheet
+            # needed (8.7s round-1 wall at local[8]); with local depths,
+            # each fine round joins only the probes whose neighborhood
+            # density asks for it. Exactness is per-round (safe-radius
+            # proof), so where a probe STARTS is pure scheduling.
             import math
-            target = max(32, 4 * k)
-            depth = max(4, math.ceil(math.log(hottest / target, 4)))
-            depth += depth % 2  # even offsets match the precomputed cells
-            if depth > max_depth:
-                # grid cap reached: the densest fine cell will hold
-                # ~4^(depth-max_depth)× more targets than the max(32,4k)
-                # design point — say so instead of silently degrading
-                if _DEBUG:
-                    print(f"[knn] depth {depth} clamped to {max_depth} "
-                          f"(res {res}+{max_depth} is the finest grid); "
-                          f"hot fine cells ~{4 ** (depth - max_depth)}x "
-                          f"denser than the design target", flush=True)
-                depth = max_depth
-            fine_res = res + depth
+            # Target per-cell occupancy ≈ k/4, NOT dozens: for a probe in
+            # density ρ the kth-NN sits at r_k ≈ sqrt(k/πρ), and the
+            # cheapest level that proves it in one r=2 round has cell
+            # size s ≈ r_k/2 — i.e. ρs² = k/4π ≈ k/12 targets per cell,
+            # giving ~2k ring candidates (just enough to pass the count
+            # test, nothing more to sort). The old max(32, 4k) target
+            # made every level ~2 steps too coarse: the uniform-density
+            # bench cohort joined 56 candidates/probe at its assigned
+            # level (10M-row round, 15-19s) where the k/4 target joins
+            # ~4/probe and resolves in the same two rounds.
+            target_cell = max(1.0, k / 4.0)
+
+            def depth_of(n):
+                if n <= target_cell:
+                    return 0
+                d = math.ceil(math.log(n / target_cell, 4))
+                d += d % 2  # even offsets match the precomputed cells
+                if d > max_depth and _DEBUG:
+                    # grid cap reached: the densest fine cell will hold
+                    # ~4^(d-max_depth)× more targets than the k/4 design
+                    # point — say so instead of silently degrading
+                    print(f"[knn] depth {d} clamped to {max_depth} "
+                          f"(res {res}+{max_depth} is the finest grid)",
+                          flush=True)
+                return min(d, max_depth)
+
+            # depth is each probe's STARTING level, so it must come from
+            # the probe's OWN cell density — no dilation: a neighbor of a
+            # dense cell gains nothing from starting deep (its own kth-NN
+            # distance is set by its own density, so fine rounds cannot
+            # resolve it), and at its proper level the dense neighbor
+            # contributes at most ring_cells × that level's per-cell
+            # population, which the per-(probe, cell) top-k prune caps.
+            depth_map = {r0["c"]: depth_of(r0["n"]) for r0 in counts
+                         if depth_of(r0["n"]) > 0}
+            fine_res = res + max(depth_map.values(), default=0)
+            depth_df = spark.createDataFrame(
+                [(c, d) for c, d in depth_map.items()],
+                "p_coarse long, p_depth int")
         else:
             fine_res = None
         if _DEBUG:
             print(f"[knn] density probe wall={time.time() - t_probe:.2f}s "
-                  f"hottest={hottest} fine_res={fine_res}", flush=True)
-    levels = sorted({res} | {L for L in cand_levels
-                             if fine_res and L <= fine_res}, reverse=True)
+                  f"hottest={hottest} fine_res={fine_res} "
+                  f"deep_cells={len(depth_map) if fine_res else 0}",
+                  flush=True)
 
     p0 = probes.select(
         F.col(probe_id_col),
@@ -164,13 +199,47 @@ def knn_join(
     # with input but not with cores (f 6.5s→11.7s going 100k→200k
     # probes, capping 2→8 efficiency at ~0.76). One narrow shuffle of
     # the small probe table restores per-core balance.
-    par = probes.sparkSession.sparkContext.defaultParallelism
+    par = spark.sparkContext.defaultParallelism
     if p0.rdd.getNumPartitions() < par:
         p0 = p0.repartition(par * 4)  # 4 task waves smooth stragglers
-    unresolved = unresolved0 = p0.select(
+    if depth_df is not None:
+        p1 = (p0.withColumn("_pc", cell_col(F.col("p_x"), F.col("p_y"), res))
+              .join(F.broadcast(depth_df), F.col("_pc") == F.col("p_coarse"),
+                    "left")
+              .withColumn("p_depth", F.coalesce(F.col("p_depth"), F.lit(0)))
+              .drop("_pc", "p_coarse"))
+        # cell columns for the whole chain the CELL depths could ask for
+        # (known driver-side, so the probe cache can be built and
+        # persisted before any probe-side job runs)
+        chain = [res + o for o in
+                 range(max(depth_map.values(), default=0), 0, -2)] + [res]
+    else:
+        # explicit fine_res (or no ladder): every probe runs every level
+        p1 = p0.withColumn("p_depth", F.lit(127))
+        chain = sorted({res} | {L for L in cand_levels
+                                if fine_res and L <= fine_res}, reverse=True)
+    unresolved = unresolved0 = p1.select(
         "*",
-        *[cell_col(F.col("p_x"), F.col("p_y"), ri).alias(f"p_cell_{ri}") for ri in levels],
+        *[cell_col(F.col("p_x"), F.col("p_y"), ri).alias(f"p_cell_{ri}") for ri in chain],
     ).persist()
+    if depth_df is not None:
+        # ONE job: materializes the probe cache AND seeds the by-depth
+        # counts the schedule + broadcast decisions need before round 1.
+        # Scheduled levels = the COMPLETE even chain below the deepest
+        # depth any PROBE carries. The chain must not have holes: a
+        # dense-sheet straggler descending 13→9 directly joins its ring
+        # against res-9 sheet cells holding ~4^2× more targets than its
+        # own-depth cells — measured as a 19s round at 200k probes when
+        # levels came from the depths PRESENT ({13,9}) instead of the
+        # chain {13,11,9}.
+        unres_by_depth = {r["p_depth"]: r["n"] for r in
+                          unresolved0.groupBy("p_depth")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+        max_pd = max((d for d in unres_by_depth if d), default=0)
+        levels = [res + o for o in range(max_pd, 0, -2)] + [res]
+    else:
+        levels = chain
+        unres_by_depth = {}  # unknown until the first round's state count
 
     results = None
     # beyond this ring radius the (2r+1)^2 cell explosion costs more than
@@ -178,21 +247,27 @@ def knn_join(
     # the fallback is exact and bounds the worst case on sparse targets
     max_ring = 32
     rounds = 0
-    # Dynamic ladder schedule (VERDICT r4 item 1a): each round's single
-    # materializing action now also returns the done/unresolved COUNTS
-    # (see the state checkpoint below), so the ladder can stop paying for
-    # levels that resolve nobody. Rules, evaluated after every fine
-    # round: skip a level's r=2 when its r=1 resolved <1% of the probes
-    # entering the level, and jump straight to the coarse grid when a
-    # whole level resolved <1% — by then the dense-core probes (the only
-    # reason fine levels exist) are done, and each remaining level would
-    # cost its full fixed round overhead to resolve almost nobody.
-    # Exactness is untouched: every round's safe-radius proof is
-    # independent of which rounds ran before it.
-    level_idx, r = 0, 1
+    # Dynamic ladder schedule (VERDICT r4 item 1a): with per-probe
+    # depths each fine level runs ONE round at r=2 — the level was
+    # chosen so the r=2 ring holds ~2k candidates AND its safe radius
+    # 2·cell_size covers the kth-NN distance the local density implies,
+    # so an extra r=1 pass at 9/25 of the candidates would just double
+    # the round count (the ~1.4s/round job-scheduling floor was half the
+    # 200k-probe wall). Descent lands on the next level with a live
+    # audience (exact by-depth counts come back with every round's state
+    # count). On the explicit-fine_res path (no depth map: every probe
+    # attends every level) the legacy r=1,2-per-level schedule with the
+    # <1%-resolved skip applies instead. Exactness is untouched: every
+    # round's safe-radius proof is independent of which rounds ran
+    # before it.
+    level_idx = 0
+    r = 2 if depth_df is not None and levels[0] != res else 1
     level_entering = None  # probe count entering the current level
     level_done = 0         # probes resolved so far within the level
     min_level_frac = 0.01
+
+    def active_at(offset: int) -> int:
+        return sum(n for d, n in unres_by_depth.items() if d >= offset)
     global _LAST_SCHEDULE
     _LAST_SCHEDULE = sched = []
     while rounds < max_rounds:
@@ -222,11 +297,40 @@ def knn_join(
             rest = rest.join(full, probe_id_col, "left_semi").localCheckpoint()
             results = rest if results is None else results.unionByName(rest)
             break
+        # at a fine level only the probes whose local density asked for
+        # that depth participate; the rest ride along unresolved (they
+        # are filtered out BEFORE the ring explode, so an idle probe
+        # costs nothing this round)
+        active = unresolved if res_i == res else \
+            unresolved.filter(F.col("p_depth") >= res_i - res)
+        exploded = active.withColumn(
+            "cell", F.explode(k_ring_col(F.col(f"p_cell_{res_i}"), r)))
+        # Broadcast the exploded probe side when the by-depth counts say
+        # it is small: a shuffled join re-partitions the WHOLE target
+        # cache by this round's cell column every round (~50 MB at 850k
+        # targets — a per-round cost independent of how few probes are
+        # left), while a broadcast join streams the cached target
+        # partitions in place. Checkpointed sources defeat Catalyst's
+        # size estimate, so the driver-side counts make the call.
+        est_rows = (active_at(res_i - res) if res_i != res
+                    else sum(unres_by_depth.values())) * (2 * r + 1) ** 2
+        t_side = t.select(target_id_col, "t_x", "t_y",
+                          F.col(f"cell_{res_i}").alias("cell"))
+        if unres_by_depth and est_rows <= 400_000:
+            exploded = F.broadcast(exploded)
+        elif n_targets is not None and n_targets <= 1_500_000:
+            # neither side shuffles: a ~1M-target table is ≲50 MB keyed
+            # (id, x, y, cell) — broadcasting it streams the big probe
+            # side map-side, and only the join OUTPUT reaches the top-k
+            # window's shuffle. At cluster scale a billion-row target
+            # table fails this test and takes the shuffled path — the
+            # standard Spark size-based join strategy, decided from the
+            # density probe's exact count instead of Catalyst's estimate
+            # (checkpointed sources defeat it).
+            t_side = F.broadcast(t_side)
         cand = (
-            unresolved
-            .withColumn("cell", F.explode(k_ring_col(F.col(f"p_cell_{res_i}"), r)))
-            .join(t.select(target_id_col, "t_x", "t_y",
-                           F.col(f"cell_{res_i}").alias("cell")), "cell", "inner")
+            exploded
+            .join(t_side, "cell", "inner")
             .withColumn(
                 "dist",
                 F.sqrt((F.col("p_x") - F.col("t_x")) ** 2 + (F.col("p_y") - F.col("t_y")) ** 2),
@@ -238,11 +342,17 @@ def knn_join(
         # the global top-k is a subset of the per-cell top-ks, and the
         # count test below survives (sum(min(c_i, k)) >= k iff sum(c_i)
         # >= k). This moves the big sort into finer, skew-free
-        # (probe, cell) partitions and caps the final window input.
-        w_cell = Window.partitionBy(probe_id_col, "cell") \
-            .orderBy(F.col("dist"), F.col(target_id_col))
-        cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
-            .filter(F.col("_cr") <= k).drop("_cr")
+        # (probe, cell) partitions and caps the final window input. It
+        # earns its extra shuffle only where a ring cell can be heavy —
+        # the coarse grid (a hot cell holds 10^5+ targets) and the legacy
+        # whole-cohort ladder; at a depth-scheduled fine level every ring
+        # cell holds ~k/4 targets by construction, so the prune would
+        # shuffle the full candidate set once more to remove ~nothing.
+        if depth_df is None or res_i == res:
+            w_cell = Window.partitionBy(probe_id_col, "cell") \
+                .orderBy(F.col("dist"), F.col(target_id_col))
+            cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
+                .filter(F.col("_cr") <= k).drop("_cr")
         w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
         # `ranked` is the shared parent of done rows, done_ids and the
         # next round's unresolved set; the done checkpoint below is the
@@ -256,12 +366,15 @@ def knn_join(
         done_ids = per_probe.filter(
             (F.col("n_cand") >= k) & ((F.col("kth_dist") <= safe) | F.lit(full_ring))
         ).select(probe_id_col)
+        # p_depth rides along on done rows so the state count below can
+        # report the remaining probes PER DEPTH — the schedule needs
+        # active_at(level) to skip rounds nobody attends
         done = ranked.join(done_ids, probe_id_col, "left_semi") \
-            .select(probe_id_col, target_id_col, "dist", "rank")
+            .select(probe_id_col, target_id_col, "dist", "rank", "p_depth")
         if res_i == res and full_ring:
             # last possible round: no next unresolved set to carry —
             # materialize the done rows alone
-            results_round = done.localCheckpoint()
+            results_round = done.drop("p_depth").localCheckpoint()
             results = results_round if results is None \
                 else results.unionByName(results_round)
             ranked.unpersist()
@@ -285,7 +398,7 @@ def knn_join(
         state = (
             done.withColumn("_st", F.lit(1))
             .withColumns({c: F.lit(None).cast(unresolved.schema[c].dataType)
-                          for c in probe_side})
+                          for c in probe_side if c != "p_depth"})
             .unionByName(
                 next_unresolved.withColumn("_st", F.lit(0))
                 .withColumns({target_id_col: F.lit(None).cast(
@@ -294,9 +407,12 @@ def knn_join(
                               "rank": F.lit(None).cast("int")}))
             .localCheckpoint(eager=False)
         )
-        cnt = {row["_st"]: row["n"] for row in
-               state.groupBy("_st").agg(F.count(F.lit(1)).alias("n")).collect()}
-        n_done_rows, n_unres = cnt.get(1, 0), cnt.get(0, 0)
+        cnt = state.groupBy("_st", "p_depth") \
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        n_done_rows = sum(row["n"] for row in cnt if row["_st"] == 1)
+        unres_by_depth = {row["p_depth"]: row["n"]
+                          for row in cnt if row["_st"] == 0}
+        n_unres = sum(unres_by_depth.values())
         done_m = state.filter(F.col("_st") == 1) \
             .select(probe_id_col, target_id_col, "dist", "rank")
         results = done_m if results is None else results.unionByName(done_m)
@@ -316,12 +432,20 @@ def knn_join(
                   f"unresolved={n_unres}", flush=True)
         if n_unres == 0:
             break
-        # schedule advance: coarse rounds double the ring; fine levels
-        # run r=2 only while productive, and a dead level (<1% of its
-        # entering probes resolved across its rounds) jumps the remaining
-        # fine levels entirely — see the ladder note above the loop
+        # schedule advance: coarse rounds double the ring. With per-probe
+        # depths a level is done after its one r=2 round; the descent
+        # lands on the next level with a non-empty audience (exact from
+        # the by-depth counts). The legacy <1% rule (min_level_frac)
+        # covers the explicit-fine_res path, where every probe attends
+        # every level and a level can be pure overhead.
         if res_i == res:
             r *= 2
+        elif depth_df is not None:
+            o = res_i - res
+            nxt = next((o2 for o2 in range(o - 2, 0, -2)
+                        if active_at(o2) > 0), 0)
+            level_idx = levels.index(res + nxt) if nxt else len(levels) - 1
+            r = 2 if nxt else 1
         elif r == 1 and round_done >= min_level_frac * level_entering:
             r = 2
         else:
