@@ -574,6 +574,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
     q["q_knn_points"] = q_knn_points
 
+    def q_knn_dense(spark, sf_dir):  # J11 density-mapped ladder (hot-cell path)
+        """Same exact-kNN contract as q_knn_points, but hot_cell_threshold
+        is forced low so the driver gate exercises the density-mapped
+        multi-resolution schedule (per-probe starting levels from the
+        cell-population map, single r=2 round per level, size-based join
+        side selection) instead of the plain coarse ring walk."""
+        pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT").select(
+            F.col("handle"), F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+        probes = pts.filter(F.col("handle").endswith("3f")).select(
+            F.col("handle").alias("probe_id"), "x", "y")
+        targets = pts.select(F.col("handle").alias("target_id"), "x", "y")
+        out = knn_join(probes, targets, k=3, res=6, hot_cell_threshold=200)
+        return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
+    q["q_knn_dense"] = q_knn_dense
+
     def q_tile_pyramid(spark, sf_dir):  # J12 pyramid rollup z6→z3
         pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
         return tile_pyramid_counts(pts, z_max=6, z_min=3)
@@ -1495,6 +1510,18 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT * FROM ({_SQL_POINTS}) WHERE handle LIKE '%7a') p
           CROSS JOIN ({_SQL_POINTS}) t)
         WHERE rank <= 5
+    """
+
+    o["q_knn_dense"] = f"""
+        SELECT probe_id, target_id, dist, rank FROM (
+          SELECT p.handle AS probe_id, t.handle AS target_id,
+                 ROUND(SQRT(POWER(p.x - t.x, 2) + POWER(p.y - t.y, 2)), 6) AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY p.handle
+                                    ORDER BY SQRT(POWER(p.x - t.x, 2) + POWER(p.y - t.y, 2)),
+                                             t.handle) AS rank
+          FROM (SELECT * FROM ({_SQL_POINTS}) WHERE handle LIKE '%3f') p
+          CROSS JOIN ({_SQL_POINTS}) t)
+        WHERE rank <= 3
     """
 
     # tile_id encoding: res*2^58 + ix*2^29 + iy (index/grid.py)

@@ -87,18 +87,24 @@ def test_auto_enroll_trims_window_to_gate_sample(monkeypatch):
     eviction (51-deep front pushing q_minhash_pairs out) cannot recur."""
     import __spark_entry__ as e
 
-    baseline = list(e.queries())[:50]
+    base_qs = list(e.queries())
+    base_unseen = [k for k in base_qs if k not in e._EVER_GATED]
+    baseline = base_qs[:50]
     # shrink the ledger so one existing registration looks brand-new —
     # equivalent to adding a query without touching _EVER_GATED
-    fake_new = baseline[-1]  # tail entry: expendable by construction
-    all_qs = set(e.queries())
+    all_qs = set(base_qs)
     probe = sorted((e._EVER_GATED & all_qs) - set(baseline))[0]
     monkeypatch.setattr(
         e, "_EVER_GATED", frozenset(e._EVER_GATED - {probe}))
     qs = list(e.queries())
     window = qs[:50]
     assert len(set(window)) == 50
-    assert probe in window
-    assert window[0] == probe  # auto-enrolled keys lead the window
-    assert e._DISPLACED == [fake_new]
-    assert fake_new not in window
+    # every unseen key (pre-existing + the simulated one) leads the window
+    assert set(base_unseen) | {probe} <= set(window[:len(base_unseen) + 1])
+    # the displaced names are the hand-picked tail: one per unseen key,
+    # recorded, and actually out of the sampled window
+    n_unseen = len(base_unseen) + 1
+    hand_front = [k for k in baseline if k not in base_unseen]
+    assert len(e._DISPLACED) == n_unseen
+    assert hand_front[-1] in e._DISPLACED  # the old window's last entry fell out
+    assert all(d not in window for d in e._DISPLACED)
