@@ -14,17 +14,24 @@ For each probe point, the k nearest target points. Algorithm (SURVEY §4.3
 Skew (the north-star "dense CAD sheet" case): one coarse cell holding
 10^5+ targets makes the candidate join itself quadratic for probes in
 that cell — no post-join pruning can help because the join OUTPUT is the
-cost. The fix is a multi-resolution schedule (`fine_res`): the first
-rounds run the same ring expansion at a finer grid, where hot-area
-probes resolve against small fine cells (cells × k candidates instead of
-cells × 10^5); sparse-area probes simply fail the count test cheaply and
-fall through to the coarse rounds. Each round's safe-radius proof is
-independent of resolution, so exactness is preserved.
+cost. The fix is a DENSITY-MAPPED multi-resolution schedule: a one-job
+density probe returns the per-coarse-cell population, each probe starts
+at the level whose cells hold ~k/4 of its own cell's targets (for local
+density ρ the kth-NN sits at r_k ≈ √(k/πρ); the cheapest level that
+proves it in one round has cell size ≈ r_k/2 — i.e. ~2k candidates in
+an r=2 ring whose safe radius 2s covers r_k), and every fine level runs
+a single r=2 round. Stragglers descend the complete even chain toward
+the coarse grid (hole-free: skipping a level joins 16× denser cells),
+where the classic ring doubling finishes. Each round's safe-radius
+proof is independent of resolution and history, so exactness is
+preserved no matter how the schedule is cut.
 
 All candidate generation is JVM column arithmetic (k_ring is sequence/
-transform algebra); ranking is a per-(probe, cell) top-k prune (the
-global top-k is a subset of per-cell top-ks) followed by one row_number
-window per round — the engine's only analytic window op (SURVEY §2.6).
+transform algebra); join sides are chosen per round from exact
+driver-side counts (broadcast small probe rings / broadcast a ≲1.5M-row
+target table / shuffle at cluster scale), and ranking is one row_number
+window per round — plus a per-(probe, cell) pre-prune only where ring
+cells can be heavy (coarse grid, legacy explicit-fine_res path).
 """
 
 from __future__ import annotations
@@ -61,28 +68,18 @@ def knn_join(
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
-    target_id for determinism. fine_res (> res) prepends a cascade of
-    finer-grid rounds — two per level, stepping fine_res, fine_res-2, …
-    down to res — the dense-cell fast path (see module doc and the
-    ladder note at `levels`). The default "auto" picks the depth from
-    the measured hot-cell density (densest fine cell ≈ max(32, 4k)
-    targets) and enables the cascade only when the hottest coarse cell
-    exceeds hot_cell_threshold targets: fine rounds cost extra rounds of
-    fixed overhead, which only pays once a hot cell would otherwise
-    flood the candidate join (measured on the bench corpus: 33k-point
-    hot cells run 0.9s coarse vs 2.4s fine at sf0.1; a 130k-point sheet
-    at 200k probes runs the first round 9.6s with the density-scaled
-    depth vs 30s at a fixed +4). The density probe is one
-    hash-aggregate over the already-persisted target table."""
-    # Resolution ladder: fine_res, fine_res-2, ..., down to res. Two
-    # rounds (r=1, 2) per level double the proven safe radius each round
-    # with NO gaps — jumping straight from a deep fine level to the
-    # coarse grid leaves probes near (but not inside) the dense core
-    # unresolved with safe radius ~2 cells, and the first coarse round
-    # then joins each of them against the hot cell's ENTIRE population
-    # (measured: a 166s round at 200k probes/130k-point sheet). At level
-    # L only probes whose 5th-NN exceeds the previous level's safe
-    # radius remain, so the hot region's contribution stays bounded.
+    target_id for determinism. The default fine_res="auto" measures the
+    per-coarse-cell target population (one hash-aggregate that also
+    materializes the target cache) and, when the hottest cell exceeds
+    hot_cell_threshold, schedules each probe from the level its OWN
+    cell's density asks for (see module doc) — fine rounds cost fixed
+    per-round overhead, which only pays once a hot cell would otherwise
+    flood the candidate join. Measured at 200k probes vs a 130k-point
+    sheet (sf0.4, local[8]): 25.8s density-mapped vs 166s for a naive
+    fine→coarse jump; fit fixed cost 13.5s vs 26.9s for the r4
+    whole-cohort ladder. An explicit integer fine_res (legacy path)
+    instead runs every probe through r=1,2 rounds at every even level
+    from fine_res down to res."""
     auto = fine_res == "auto"
     n_targets = None  # known after the auto density probe
     # deepest even offset the grid supports (res 16 is the global cap);
