@@ -315,17 +315,17 @@ def knn_join(
                           F.col(f"cell_{res_i}").alias("cell"))
         if unres_by_depth and est_rows <= 400_000:
             exploded = F.broadcast(exploded)
-        elif (n_targets is not None and n_targets <= 1_500_000
-              and est_rows >= 4_000_000):
-            # a HUGE exploded probe side never shuffles: a ~1M-target
-            # table is ≲50 MB keyed (id, x, y, cell) — broadcasting it
-            # streams the probe side map-side, and only the join OUTPUT
-            # reaches the top-k window's shuffle. Mid-size probe sides
-            # (400k..4M rows) take the shuffled path instead: their
-            # shuffle is cheap and parallel, while every broadcast build
-            # is ~2s of single-threaded driver time that repeats per
-            # round and caps scaling efficiency. At cluster scale a
-            # billion-row target table fails the size test and shuffles —
+        elif n_targets is not None and n_targets <= 1_500_000:
+            # neither side shuffles: a ~1M-target table is ≲50 MB keyed
+            # (id, x, y, cell) — broadcasting it streams the big probe
+            # side map-side, and only the join OUTPUT reaches the top-k
+            # window's shuffle. (Measured at 10^6 probes: routing the
+            # mid-size 400k..4M-row probe sides through the shuffled
+            # path instead was WORSE at both parallelism levels — T2
+            # 128.8→133.1s, T8 49.7→53.5s — the per-round broadcast
+            # build is ~2s of driver time but the shuffles it avoids
+            # cost more at every level.) At cluster scale a billion-row
+            # target table fails this test and takes the shuffled path —
             # the standard Spark size-based join strategy, decided from
             # the density probe's exact count instead of Catalyst's
             # estimate (checkpointed sources defeat it).
