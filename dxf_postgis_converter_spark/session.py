@@ -55,6 +55,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill scratch space. Measured on this box: pointing it
+        # at tmpfs changes NOTHING at bench scale (1M-probe kNN local[8]
+        # 56.5s tmpfs vs 53.2s /tmp, within run noise) — the page cache
+        # already absorbs our ≤ few-GB shuffle writes, so the residual
+        # non-parallel cost is NOT disk-serialization. Env override kept
+        # for machines where scratch really is a slow disk; on a real
+        # cluster the cluster manager sets this.
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                                  os.environ.get("TMPDIR", "/tmp")))
     )
     if master is not None:
         builder = builder.master(master)
