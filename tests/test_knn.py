@@ -162,3 +162,44 @@ def test_knn_ladder_skips_dead_levels(spark):
     for r in got:
         by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id))
     assert set(by_probe) == set(exp)
+
+
+def test_knn_explicit_fine_res_legacy_path(spark):
+    """An explicit integer fine_res takes the legacy whole-cohort ladder
+    (r=1,2 per level, <1%-skip heuristic) — exactness must hold there
+    too after the depth-path restructure."""
+    rng = np.random.default_rng(21)
+    targets = rng.uniform(0, 8192, size=(500, 2))
+    probes = rng.uniform(0, 8192, size=(40, 2))
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(targets)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=4, res=6, fine_res=10).collect()
+    exp = brute_knn(probes, targets, 4)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id))
+    assert set(by_probe) == set(exp)
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t in rows] == [t for t, _ in exp[pid]]
+
+
+def test_knn_ladder_with_fewer_targets_than_k(spark):
+    """Dense cell triggers the ladder while k exceeds the TOTAL target
+    count: no probe can resolve, the loop must terminate via full ring /
+    fallback with every probe absent (sub-k contract) — no hang, no
+    partial rows."""
+    rng = np.random.default_rng(4)
+    dense = rng.normal(loc=(100, 100), scale=2, size=(30, 2))
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(dense)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [("p0", 100.0, 100.0), ("p1", 5000.0, 5000.0)],
+        "probe_id string, x double, y double")
+    out = knn_join(pdf, tdf, k=50, res=4, hot_cell_threshold=10).collect()
+    assert out == []
