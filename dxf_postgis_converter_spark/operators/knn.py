@@ -168,10 +168,10 @@ def knn_join(
             # dense cell gains nothing from starting deep (its own kth-NN
             # distance is set by its own density, so fine rounds cannot
             # resolve it), and at its proper level the dense neighbor
-            # contributes at most ring_cells × that level's per-cell
-            # population, which the per-(probe, cell) top-k prune caps.
-            depth_map = {r0["c"]: depth_of(r0["n"]) for r0 in counts
-                         if depth_of(r0["n"]) > 0}
+            # contributes at most ring_cells × that level's (much
+            # smaller) per-cell population — bounded, and measured small.
+            all_depths = ((r0["c"], depth_of(r0["n"])) for r0 in counts)
+            depth_map = {c: d for c, d in all_depths if d > 0}
             fine_res = res + max(depth_map.values(), default=0)
             depth_df = spark.createDataFrame(
                 [(c, d) for c, d in depth_map.items()],
