@@ -340,6 +340,19 @@ def knn_join(
             # same target can surface via several ring cells only at the
             # clipped border — k_ring dedups, so pairs are unique
         )
+        safe = float(r) * size_i
+        full_ring = r >= grid_n  # ring covers the whole grid: all exact
+        if not full_ring:
+            # candidates beyond the safe radius can NEVER be in a
+            # resolved probe's answer (resolution requires kth_dist ≤
+            # safe, and every point within safe lies inside the ring), so
+            # dropping them before the ranking window is exact and cuts
+            # its shuffle+sort input ~40% (an r=2 ring spans ~2.8·s at
+            # the corners vs the 2·s safe circle). An unresolved probe's
+            # surviving candidates are discarded either way — the next
+            # round rebuilds from scratch. Full-ring rounds resolve on
+            # count alone and must keep everything.
+            cand = cand.filter(F.col("dist") <= safe)
         # two-level top-k: prune to the k nearest per (probe, cell) first —
         # the global top-k is a subset of the per-cell top-ks, and the
         # count test below survives (sum(min(c_i, k)) >= k iff sum(c_i)
@@ -361,8 +374,6 @@ def knn_join(
         # round's heavy materialization and pulls it through the cache.
         ranked = cand.withColumn("rank", F.row_number().over(w)) \
             .filter(F.col("rank") <= k).persist()
-        safe = float(r) * size_i
-        full_ring = r >= grid_n  # ring covers the whole grid: all exact
         per_probe = ranked.groupBy(probe_id_col).agg(
             F.count("*").alias("n_cand"), F.max("dist").alias("kth_dist"))
         done_ids = per_probe.filter(
