@@ -38,18 +38,244 @@ from __future__ import annotations
 
 import os
 import time
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.grid import cell_col, cell_size, k_ring_col
+from ..index.grid import (
+    EXTENT, cell_col, cell_ix, cell_iy, cell_size, k_ring_col,
+    _IX_SHIFT, _RES_SHIFT,
+)
 
 _DEBUG = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
+# scaling-harness A/B knob: pins every default-strategy knn_join call to
+# "oneshot" (default) or "ladder" without touching call sites
+_DEFAULT_STRATEGY = os.environ.get("SPARK_GRAFT_KNN_STRATEGY", "oneshot")
 
 # trace of the most recent knn_join's executed rounds as (res, ring_r)
 # tuples — introspection hook for tests/bench asserting the dynamic
-# ladder actually cut rounds; "fallback" marks the crossJoin tail
+# ladder actually cut rounds; "fallback" marks the crossJoin tail;
+# the one-shot strategy records [("oneshot", sorted(levels_used))]
 _LAST_SCHEDULE: list = []
+
+
+def _parent2(cell, lvl: int):
+    """Cell id of the ancestor two levels up (16 children → 1 parent).
+    Pure long arithmetic — stays in whole-stage codegen."""
+    return (
+        F.lit(lvl).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + F.shiftright(cell_ix(cell), 2) * F.lit(1 << _IX_SHIFT).cast("long")
+        + F.shiftright(cell_iy(cell), 2)
+    )
+
+
+def knn_join_oneshot(
+    probes: DataFrame,
+    targets: DataFrame,
+    k: int,
+    res: int = 8,
+    probe_id_col: str = "probe_id",
+    target_id_col: str = "target_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    broadcast_limit: int = 1_500_000,
+    cell_prune: bool = True,
+) -> DataFrame:
+    """Exact kNN join with NO iterative rounds — the scale-first strategy.
+
+    The ring-expansion ladder (knn_join below, SURVEY §4.3) is exact but
+    pays a driver barrier per round (5-7 rounds at production probe
+    counts), a fixed cost that caps measured N→4N scaling efficiency at
+    ~0.64 on one box even after the round count was minimized
+    (BENCH_SCALING_KNN1M.json). This formulation removes the loop
+    entirely by PROVING each probe's search radius up front from grid
+    statistics:
+
+      1. per-(level, cell) target counts: one groupBy at the finest
+         level, then parent roll-ups every 2 levels (16 children → 1
+         parent, cell-table-sized aggregations) — all JVM, no collect;
+      2. 3×3-neighborhood counts cnt3(L, c) = Σ count over c's ring-1,
+         computed by exploding each counted cell to its 9 neighbors;
+      3. level selection: each probe takes the FINEST level L with
+         cnt3(L, ancestor(p, L)) ≥ k. Every target in ring-1 of p's
+         cell lies within |Δx|,|Δy| < 2·s_L of p, so the kth-NN
+         distance is < 2√2·s_L — and every point that close lies in
+         ring-3 (7×7 cells) of p's cell. One ring-3 candidate join at
+         L therefore provably contains the true top-k: no count test,
+         no retry round. The chain floor (level ≤ 1, where ring-1
+         spans the whole clamped grid) makes selection total whenever
+         n_targets ≥ k; probes stay absent otherwise (sub-k contract,
+         same as the ladder);
+      4. ONE candidate join keyed on the cell id (level lives in the id's
+         high bits, so a single key joins all levels at once), a
+         map-side dist ≤ 2√2·s_L prefilter, an optional per-(probe,
+         cell) top-k pre-prune (skew defense: caps any one dense ring
+         cell — e.g. a 10^5-point CAD sheet 2 cells away — at k rows
+         per probe before the global sort), then one ranking window.
+
+    Spark shape: 2 internal barriers (target count; level-selection
+    materialization) + the caller's action — versus 5-7 sequential
+    rounds each with its own barrier and broadcast build. Everything is
+    JVM column arithmetic; join sides are size-picked (broadcast the
+    exploded target side when n_targets × levels_used ≤ broadcast_limit,
+    else shuffle on cell — the standard path at cluster scale).
+
+    Ties break by (dist, target_id) — identical to the ladder, so the
+    two strategies are output-equal row for row.
+    """
+    import math
+
+    spark = probes.sparkSession
+    t = targets.select(
+        F.col(target_id_col),
+        F.col(x_col).alias("t_x"),
+        F.col(y_col).alias("t_y"),
+    ).persist()
+    # density probe (ONE action — materializes the cache too, exactly as
+    # the ladder's): the hottest res-cell population bounds how deep the
+    # counts pyramid can possibly be useful. Splitting past the level
+    # where the hottest cell holds ~k/4 targets cannot change any
+    # probe's selection (a finer neighborhood of a ≤k/4-per-cell region
+    # cannot reach k), so the chain's fine end is trimmed there — at
+    # uniform density that cuts the pyramid from 8 levels to 2-4, and
+    # the trim is pure scheduling: any level with cnt3 ≥ k yields an
+    # exact proof, finer ones only shrink candidate counts.
+    t0 = time.time() if _DEBUG else 0.0
+    counts0 = (t.groupBy(cell_col(F.col("t_x"), F.col("t_y"), res).alias("c"))
+               .agg(F.count(F.lit(1)).alias("n")).collect())
+    if _DEBUG:
+        print(f"[knn1s] density probe wall={time.time() - t0:.2f}s", flush=True)
+    n_targets = sum(r["n"] for r in counts0)
+    hottest = max((r["n"] for r in counts0), default=0)
+    global _LAST_SCHEDULE
+    if n_targets < k:
+        t.unpersist()
+        _LAST_SCHEDULE = [("oneshot", [])]
+        return spark.createDataFrame(
+            [], schema=f"{probe_id_col} string, {target_id_col} string, "
+                       "dist double, rank int")
+    target_cell = max(1.0, k / 4.0)
+    depth = 0
+    if hottest > target_cell:
+        depth = math.ceil(math.log(hottest / target_cell, 4))
+        depth += depth % 2  # even steps
+    finest = min(res + depth, res + ((16 - res) // 2) * 2)
+    # even-step level chain down to the floor where ring-1 covers the
+    # whole (clamped) grid
+    chain = list(range(finest, -1, -2))  # e.g. res=7 → 15,13,...,3,1
+
+    # 1. per-(level, cell) counts in ONE aggregation: explode each target
+    #    to its cell at every chain level, hash-aggregate. (A parent
+    #    roll-up pyramid shuffles fewer bytes, but its |chain| CHAINED
+    #    aggregations + union cost ~15s of Catalyst compilation alone —
+    #    measured — while this plan is explode→agg. Map-side partial
+    #    aggregation keeps the shuffle at ~distinct-cells volume anyway.)
+    cnt = t.select(F.explode(F.array(*[
+        cell_col(F.col("t_x"), F.col("t_y"), lvl) for lvl in chain
+    ])).alias("cell")).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    # 2. ring-1 neighborhood mass per cell (level rides in the cell id)
+    cnt3 = (cnt
+            .select(F.explode(k_ring_col(F.col("cell"), 1)).alias("cell"), "n")
+            .groupBy("cell").agg(F.sum("n").alias("n3")))
+
+    # 3. level selection: ancestor-chain explode → join cnt3 → finest
+    #    level with n3 ≥ k (struct max picks the deepest, carrying its
+    #    cell along — levels order identically in the id's high bits)
+    p0 = probes.select(
+        F.col(probe_id_col),
+        F.col(x_col).alias("p_x"),
+        F.col(y_col).alias("p_y"),
+    )
+    t0 = time.time() if _DEBUG else 0.0
+    par = spark.sparkContext.defaultParallelism
+    if p0.rdd.getNumPartitions() < par:
+        # a LIMIT upstream leaves ONE partition — same guard as the ladder
+        p0 = p0.repartition(par * 4)
+    if _DEBUG:
+        print(f"[knn1s] p0.rdd probe wall={time.time() - t0:.2f}s", flush=True)
+    anc = p0.select(
+        probe_id_col, "p_x", "p_y",
+        F.explode(F.array(*[
+            cell_col(F.col("p_x"), F.col("p_y"), lvl) for lvl in chain
+        ])).alias("cell"))
+    # lazy checkpoint + the distinct-levels collect as its materializing
+    # action (same single-barrier trick as the ladder's round state):
+    # one job computes the counts pyramid + selection, truncates their
+    # lineage, and returns the level set the join below needs
+    t0 = time.time() if _DEBUG else 0.0
+    sel = (anc.join(cnt3, "cell", "inner")
+           .filter(F.col("n3") >= k)
+           .groupBy(probe_id_col, "p_x", "p_y")
+           .agg(F.max("cell").alias("p_cell"))
+           .withColumn("lvl", (F.col("p_cell")
+                               / F.lit(1 << _RES_SHIFT)).cast("int"))
+           .localCheckpoint(eager=False))
+    if _DEBUG:
+        print(f"[knn1s] sel plan build wall={time.time() - t0:.2f}s", flush=True)
+    t0 = time.time() if _DEBUG else 0.0
+    by_lvl = {r["lvl"]: r["n"] for r in
+              sel.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()}
+    used = sorted(by_lvl)
+    n_sel = sum(by_lvl.values())
+    _LAST_SCHEDULE = [("oneshot", used)]
+    if _DEBUG:
+        print(f"[knn1s] selection wall={time.time() - t0:.2f}s chain={chain} "
+              f"by_lvl={by_lvl}", flush=True)
+    if not used:  # pragma: no cover — unreachable once n_targets ≥ k
+        t.unpersist()
+        return spark.createDataFrame(
+            [], schema=f"{probe_id_col} string, {target_id_col} string, "
+                       "dist double, rank int")
+
+    # 4. single candidate join: probe ring-3 cells vs targets keyed at
+    #    each USED level (union of narrow per-level projections of the
+    #    cached table — one broadcast build total, not one per round)
+    t_exp = reduce(DataFrame.unionByName, [
+        t.select(target_id_col, "t_x", "t_y",
+                 cell_col(F.col("t_x"), F.col("t_y"), lvl).alias("cell"))
+        for lvl in used
+    ])
+    ring = sel.withColumn("cell", F.explode(k_ring_col(F.col("p_cell"), 3)))
+    # join-side pick from exact driver-side counts (checkpointed sources
+    # defeat Catalyst's estimates — same rationale as the ladder's):
+    # broadcast the exploded probe ring when small (streams the cached
+    # target branches map-side with no shuffle at all), else broadcast
+    # the level-exploded target side when it fits, else shuffle both on
+    # cell — the standard path at cluster scale.
+    if n_sel * 49 <= 400_000:
+        ring = F.broadcast(ring)
+    elif n_targets * len(used) <= broadcast_limit:
+        t_exp = F.broadcast(t_exp)
+    s_lvl = F.lit(EXTENT) / F.pow(F.lit(2.0), F.col("lvl").cast("double"))
+    # kth-NN dist is strictly < 2√2·s_L by the selection proof; the tiny
+    # relative margin only guards FP noise in the distance evaluation
+    safe = F.lit(2.8284271247461903) * s_lvl * F.lit(1.0 + 1e-9)
+    cand = (ring.join(t_exp, "cell", "inner")
+            .withColumn("dist", F.sqrt(
+                (F.col("p_x") - F.col("t_x")) ** 2
+                + (F.col("p_y") - F.col("t_y")) ** 2))
+            .filter(F.col("dist") <= safe))
+    if cell_prune:
+        w_cell = Window.partitionBy(probe_id_col, "cell") \
+            .orderBy(F.col("dist"), F.col(target_id_col))
+        cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
+            .filter(F.col("_cr") <= k).drop("_cr")
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
+    t0 = time.time() if _DEBUG else 0.0
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(probe_id_col, target_id_col, "dist", "rank")
+           .localCheckpoint())
+    if _DEBUG:
+        print(f"[knn1s] candidate join wall={time.time() - t0:.2f}s "
+              f"n_sel={n_sel} used={used}", flush=True)
+    # the EAGER checkpoint is the strategy's one heavy job; with the
+    # result materialized and its lineage truncated, the target cache
+    # has no remaining consumer (sel's checkpoint blocks are freed when
+    # the DataFrame is garbage-collected)
+    t.unpersist()
+    return out
 
 
 def knn_join(
@@ -64,11 +290,22 @@ def knn_join(
     max_rounds: int = 24,
     fine_res: int | None | str = "auto",
     hot_cell_threshold: int = 75_000,
+    strategy: str | None = None,
 ) -> DataFrame:
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
-    target_id for determinism. The default fine_res="auto" measures the
+    target_id for determinism.
+
+    strategy="oneshot" (default) runs the non-iterative formulation
+    (knn_join_oneshot above — provable per-probe search radius from grid
+    statistics, zero driver rounds); it is output-identical to the
+    ladder. strategy="ladder", or an explicit integer/None fine_res,
+    runs the iterative ring-expansion ladder documented below — kept
+    both as the driver-gated second implementation of the same contract
+    and for schedules the tests pin explicitly.
+
+    Ladder: the default fine_res="auto" measures the
     per-coarse-cell target population (one hash-aggregate that also
     materializes the target cache) and, when the hottest cell exceeds
     hot_cell_threshold, schedules each probe from the level its OWN
@@ -80,6 +317,12 @@ def knn_join(
     whole-cohort ladder. An explicit integer fine_res (legacy path)
     instead runs every probe through r=1,2 rounds at every even level
     from fine_res down to res."""
+    if strategy is None:
+        strategy = _DEFAULT_STRATEGY
+    if strategy == "oneshot" and fine_res == "auto":
+        return knn_join_oneshot(
+            probes, targets, k, res=res, probe_id_col=probe_id_col,
+            target_id_col=target_id_col, x_col=x_col, y_col=y_col)
     auto = fine_res == "auto"
     n_targets = None  # known after the auto density probe
     # deepest even offset the grid supports (res 16 is the global cap);

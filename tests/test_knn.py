@@ -34,10 +34,11 @@ def brute_knn(probes, targets, k):
     return exp
 
 
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
 @pytest.mark.parametrize("k,res", [(3, 8), (5, 6), (1, 10)])
-def test_knn_vs_bruteforce(knn_data, k, res):
+def test_knn_vs_bruteforce(knn_data, k, res, strategy):
     pdf, tdf, probes, targets = knn_data
-    got = knn_join(pdf, tdf, k=k, res=res).collect()
+    got = knn_join(pdf, tdf, k=k, res=res, strategy=strategy).collect()
     exp = brute_knn(probes, targets, k)
     by_probe = {}
     for r in got:
@@ -50,44 +51,50 @@ def test_knn_vs_bruteforce(knn_data, k, res):
             assert dg == pytest.approx(de, rel=1e-12)
 
 
-def test_knn_fewer_targets_than_k(spark):
-    """With < k targets total, probes never reach k candidates; the loop
-    terminates at full ring and such probes are absent from the result
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_fewer_targets_than_k(spark, strategy):
+    """With < k targets total, probes never reach k candidates; both
+    strategies terminate with such probes absent from the result
     (documented semantics — no partial rows, no hang)."""
     tdf = spark.createDataFrame(
         [("t0", 10.0, 10.0), ("t1", 20.0, 20.0)], "target_id string, x double, y double")
     pdf = spark.createDataFrame([("p0", 15.0, 15.0)], "probe_id string, x double, y double")
-    got = knn_join(pdf, tdf, k=5, res=4)
+    got = knn_join(pdf, tdf, k=5, res=4, strategy=strategy)
     assert got.count() == 0
 
 
-def test_knn_exact_k_targets(spark):
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_exact_k_targets(spark, strategy):
     tdf = spark.createDataFrame(
         [(f"t{i}", float(i * 100), 0.0) for i in range(5)],
         "target_id string, x double, y double")
     pdf = spark.createDataFrame([("p0", 0.0, 0.0)], "probe_id string, x double, y double")
-    rows = knn_join(pdf, tdf, k=5, res=6).orderBy("rank").collect()
+    rows = knn_join(pdf, tdf, k=5, res=6, strategy=strategy).orderBy("rank").collect()
     assert [r.target_id for r in rows] == ["t0", "t1", "t2", "t3", "t4"]
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
 
 
-def test_knn_tie_determinism(spark):
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_tie_determinism(spark, strategy):
     """Four equidistant targets: ranks break ties by target_id."""
     tdf = spark.createDataFrame(
         [("a", 10.0, 0.0), ("b", -10.0, 0.0), ("c", 0.0, 10.0), ("d", 0.0, -10.0)],
         "target_id string, x double, y double")
     pdf = spark.createDataFrame([("p", 0.0, 0.0)], "probe_id string, x double, y double")
-    r1 = [(r.target_id, r.rank) for r in knn_join(pdf, tdf, k=3, res=5).orderBy("rank").collect()]
-    r2 = [(r.target_id, r.rank) for r in knn_join(pdf, tdf, k=3, res=5).orderBy("rank").collect()]
+    r1 = [(r.target_id, r.rank) for r in
+          knn_join(pdf, tdf, k=3, res=5, strategy=strategy).orderBy("rank").collect()]
+    r2 = [(r.target_id, r.rank) for r in
+          knn_join(pdf, tdf, k=3, res=5, strategy=strategy).orderBy("rank").collect()]
     assert r1 == r2 == [("a", 1), ("b", 2), ("c", 3)]
 
 
-def test_knn_probe_on_target(spark):
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_probe_on_target(spark, strategy):
     """A probe colocated with a target gets it at dist 0, rank 1."""
     tdf = spark.createDataFrame(
         [("t0", 50.0, 50.0), ("t1", 60.0, 60.0)], "target_id string, x double, y double")
     pdf = spark.createDataFrame([("p", 50.0, 50.0)], "probe_id string, x double, y double")
-    top = knn_join(pdf, tdf, k=1, res=6).first()
+    top = knn_join(pdf, tdf, k=1, res=6, strategy=strategy).first()
     assert top.target_id == "t0" and top.dist == 0.0 and top.rank == 1
 
 
@@ -110,7 +117,8 @@ def test_knn_dense_hot_cell_ladder_exact(spark):
     pdf = spark.createDataFrame(
         [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
         "probe_id string, x double, y double")
-    got = knn_join(pdf, tdf, k=3, res=6, hot_cell_threshold=1000).collect()
+    got = knn_join(pdf, tdf, k=3, res=6, hot_cell_threshold=1000,
+                   strategy="ladder").collect()
     sched = list(knn_mod._LAST_SCHEDULE)
     # the ladder ran: at least one round at a finer grid than res
     assert any(isinstance(s, int) and s > 6 for s, _ in sched), sched
@@ -142,7 +150,8 @@ def test_knn_ladder_skips_dead_levels(spark):
     pdf = spark.createDataFrame(
         [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
         "probe_id string, x double, y double")
-    got = knn_join(pdf, tdf, k=3, res=4, hot_cell_threshold=1000).collect()
+    got = knn_join(pdf, tdf, k=3, res=4, hot_cell_threshold=1000,
+                   strategy="ladder").collect()
     sched = list(knn_mod._LAST_SCHEDULE)
     fine_levels_run = {s for s, _ in sched if isinstance(s, int) and s > 4}
     # a full ladder from the auto depth would run every even level down
@@ -201,5 +210,84 @@ def test_knn_ladder_with_fewer_targets_than_k(spark):
     pdf = spark.createDataFrame(
         [("p0", 100.0, 100.0), ("p1", 5000.0, 5000.0)],
         "probe_id string, x double, y double")
-    out = knn_join(pdf, tdf, k=50, res=4, hot_cell_threshold=10).collect()
+    out = knn_join(pdf, tdf, k=50, res=4, hot_cell_threshold=10,
+                   strategy="ladder").collect()
     assert out == []
+
+
+# --- one-shot strategy specifics --------------------------------------------
+
+
+def test_knn_oneshot_dense_hot_cell_exact(spark):
+    """The default (one-shot) strategy on a dense hot cell + scattered
+    probes: level selection must pick fine levels for the core and
+    coarse for the sparse region, and the answer must equal brute force
+    exactly — the same workload shape as the ladder's hot-sheet gate."""
+    import dxf_postgis_converter_spark.operators.knn as knn_mod
+    rng = np.random.default_rng(9)
+    dense = rng.normal(loc=(700, 700), scale=12, size=(3000, 2))
+    sparse = rng.uniform(0, 8192, size=(200, 2))
+    targets = np.vstack([dense, sparse])
+    probes = np.vstack([
+        rng.normal(loc=(700, 700), scale=12, size=(25, 2)),  # in the core
+        rng.uniform(0, 8192, size=(25, 2)),                  # scattered
+    ])
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(targets)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=3, res=6).collect()
+    tag, used = knn_mod._LAST_SCHEDULE[0]
+    assert tag == "oneshot"
+    # core probes select a finer level than the sparse ones
+    assert len(used) >= 2 and max(used) > 6, used
+    exp = brute_knn(probes, targets, 3)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id, r.dist))
+    assert set(by_probe) == set(exp)
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t, _ in rows] == [t for t, _ in exp[pid]]
+        for (_, _, dg), (_, de) in zip(rows, exp[pid]):
+            assert dg == pytest.approx(de, rel=1e-12)
+
+
+def test_knn_oneshot_equals_ladder(knn_data):
+    """The two strategies implement ONE contract: identical rows on the
+    shared fixture (rank, ids, and distances)."""
+    pdf, tdf, _, _ = knn_data
+    a = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7,
+                                   strategy="oneshot").collect()))
+    b = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7,
+                                   strategy="ladder").collect()))
+    assert a == b
+
+
+def test_knn_oneshot_sparse_probe_near_cluster(spark):
+    """A probe in empty space beside a huge cluster: its neighborhood
+    count first clears k at a coarse level whose ring-3 sweeps in the
+    cluster — the per-(probe, cell) pre-prune must keep the sort bounded
+    and the answer exact (the adversarial case for grid selection)."""
+    rng = np.random.default_rng(17)
+    cluster = rng.normal(loc=(1000, 1000), scale=3, size=(4000, 2))
+    lone = np.array([[1500.0, 1000.0], [7000.0, 7000.0]])
+    targets = np.vstack([cluster, lone])
+    probes = np.array([[1300.0, 1000.0], [6900.0, 7100.0]])
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(targets)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=5, res=7).collect()
+    exp = brute_knn(probes, targets, 5)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id))
+    assert set(by_probe) == set(exp)
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t in rows] == [t for t, _ in exp[pid]]
