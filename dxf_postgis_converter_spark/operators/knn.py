@@ -43,10 +43,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.grid import (
-    EXTENT, cell_col, cell_ix, cell_iy, cell_size, k_ring_col,
-    _IX_SHIFT, _RES_SHIFT,
-)
+from ..index.grid import EXTENT, cell_col, cell_size, k_ring_col, _RES_SHIFT
 
 _DEBUG = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
 # scaling-harness A/B knob: pins every default-strategy knn_join call to
@@ -58,16 +55,6 @@ _DEFAULT_STRATEGY = os.environ.get("SPARK_GRAFT_KNN_STRATEGY", "oneshot")
 # ladder actually cut rounds; "fallback" marks the crossJoin tail;
 # the one-shot strategy records [("oneshot", sorted(levels_used))]
 _LAST_SCHEDULE: list = []
-
-
-def _parent2(cell, lvl: int):
-    """Cell id of the ancestor two levels up (16 children → 1 parent).
-    Pure long arithmetic — stays in whole-stage codegen."""
-    return (
-        F.lit(lvl).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-        + F.shiftright(cell_ix(cell), 2) * F.lit(1 << _IX_SHIFT).cast("long")
-        + F.shiftright(cell_iy(cell), 2)
-    )
 
 
 def knn_join_oneshot(
