@@ -579,13 +579,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is forced low so the driver gate exercises the density-mapped
         multi-resolution schedule (per-probe starting levels from the
         cell-population map, single r=2 round per level, size-based join
-        side selection) instead of the plain coarse ring walk."""
+        side selection) instead of the plain coarse ring walk. Pins
+        strategy="ladder": with "oneshot" the default since r5, this row
+        is what keeps the iterative ladder driver-gated (q_knn_points
+        drives the default oneshot path against the same oracle)."""
         pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT").select(
             F.col("handle"), F.col("xmin").alias("x"), F.col("ymin").alias("y"))
         probes = pts.filter(F.col("handle").endswith("3f")).select(
             F.col("handle").alias("probe_id"), "x", "y")
         targets = pts.select(F.col("handle").alias("target_id"), "x", "y")
-        out = knn_join(probes, targets, k=3, res=6, hot_cell_threshold=200)
+        out = knn_join(probes, targets, k=3, res=6, hot_cell_threshold=200,
+                       strategy="ladder")
         return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
     q["q_knn_dense"] = q_knn_dense
 

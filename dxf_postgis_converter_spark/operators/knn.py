@@ -1,7 +1,19 @@
-"""kNN join (J11) — iterative cell-ring expansion + windowed top-k.
+"""kNN join (J11) — for each probe point, the k nearest target points.
 
-For each probe point, the k nearest target points. Algorithm (SURVEY §4.3
-"kNN ring expansion loop — driver-side iterative algorithm"):
+Two strategies implement one contract (output-identical row for row,
+ties broken by (dist, target_id)):
+
+- "oneshot" (default) — knn_join_oneshot: proves each probe's search
+  radius up front from a per-(level, cell) counts pyramid and runs ONE
+  candidate join. Zero driver rounds, 2 internal barriers — the
+  scale-first formulation (the ladder's per-round barrier floor capped
+  measured N→4N efficiency at ~0.64, BENCH_SCALING_KNN1M.json).
+- "ladder" — the iterative ring-expansion loop below (SURVEY §4.3 "kNN
+  ring expansion loop — driver-side iterative algorithm"), kept as the
+  driver-gated second implementation and for explicitly pinned
+  schedules.
+
+Ladder algorithm:
 
   round r (r = 1, 2, 4, ... doubling):
     candidates = unresolved probes ⋈ targets on cell ∈ k_ring(probe_cell, r)
@@ -43,7 +55,10 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.grid import EXTENT, cell_col, cell_size, k_ring_col, _RES_SHIFT
+from ..index.grid import (
+    EXTENT, cell_col, cell_ix, cell_iy, cell_size, k_ring_col,
+    _IX_SHIFT, _RES_SHIFT,
+)
 
 _DEBUG = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
 # scaling-harness A/B knob: pins every default-strategy knn_join call to
@@ -79,33 +94,66 @@ def knn_join_oneshot(
     entirely by PROVING each probe's search radius up front from grid
     statistics:
 
-      1. per-(level, cell) target counts: one groupBy at the finest
-         level, then parent roll-ups every 2 levels (16 children → 1
-         parent, cell-table-sized aggregations) — all JVM, no collect;
+      1. DENSITY-LOCAL counts pyramid. The density probe's exact
+         per-res-cell counts are rolled up DRIVER-side for every level
+         ≤ res (≤65k dict entries — no Spark job at all below res), and
+         each cell gets an even depth d*(n) = even-floor(log4(9n/k)) —
+         the deepest level where its ring-1 neighborhood can still hold
+         k targets (9·n/4^d ≥ k). Targets explode ONLY to levels
+         res+2 .. res+dil2(cell), where dil2 is d* dilated over the
+         Chebyshev-≤2 res-neighborhood. The first cut of this strategy
+         exploded every target to every chain level globally (8 levels
+         × 5.3M targets + a ×9 neighbor explode ≈ 160M aggregated rows)
+         and the stats phase alone cost 48s at local[8]/10^6 probes;
+         density-local explosion does the same proof work on the ~2-3
+         levels each neighborhood actually needs;
       2. 3×3-neighborhood counts cnt3(L, c) = Σ count over c's ring-1,
-         computed by exploding each counted cell to its 9 neighbors;
+         by exploding each counted cell (fine Spark rows ∪ the
+         driver-built sub-res rows) to its 9 neighbors;
       3. level selection: each probe takes the FINEST level L with
-         cnt3(L, ancestor(p, L)) ≥ k. Every target in ring-1 of p's
-         cell lies within |Δx|,|Δy| < 2·s_L of p, so the kth-NN
-         distance is < 2√2·s_L — and every point that close lies in
+         cnt3(L, ancestor(p, L)) ≥ k, its ancestor chain limited to
+         res+dil1(cell) (Chebyshev-≤1 dilation — a probe's fine ring-1
+         can only reach one res-neighbor over). Every target in ring-1
+         of p's cell lies within |Δx|,|Δy| < 2·s_L of p, so the kth-NN
+         distance is ≤ 2√2·s_L — and every point that close lies in
          ring-3 (7×7 cells) of p's cell. One ring-3 candidate join at
          L therefore provably contains the true top-k: no count test,
-         no retry round. The chain floor (level ≤ 1, where ring-1
-         spans the whole clamped grid) makes selection total whenever
-         n_targets ≥ k; probes stay absent otherwise (sub-k contract,
-         same as the ladder);
+         no retry round. Undercounted cnt3 (a neighbor cell not
+         exploded that deep) only makes selection coarser — never
+         wrong. The sub-res floor (level ≤ 1, where ring-1 spans the
+         whole clamped grid) makes selection total whenever n_targets
+         ≥ k; probes stay absent otherwise (sub-k contract, same as
+         the ladder);
       4. ONE candidate join keyed on the cell id (level lives in the id's
-         high bits, so a single key joins all levels at once), a
+         high bits, so a single key joins all levels at once). The
+         probe side explodes ring-3 minus an exact geometric prune
+         (a ring cell whose closest point to p exceeds the 2√2·s_L
+         safe radius — most of the 24 outer cells — cannot contribute;
+         ~35% fewer join rows). The target side unions one narrow
+         projection per used level, fine levels filtered to cells with
+         dil2 ≥ L−res — exact, because a probe selecting L has a
+         depth-≥(L−res) cell within Chebyshev 1, and every ring-3
+         target cell at L is within Chebyshev 2 of that same cell. A
          map-side dist ≤ 2√2·s_L prefilter, an optional per-(probe,
          cell) top-k pre-prune (skew defense: caps any one dense ring
          cell — e.g. a 10^5-point CAD sheet 2 cells away — at k rows
          per probe before the global sort), then one ranking window.
 
+    Out-of-extent coordinates (grid.py clamps them to border cells)
+    would break every radius proof above, so they are handled by
+    construction: clamped targets are excluded from all count
+    statistics and surface only at the FLOOR level; clamped probes are
+    routed straight to the floor; and the floor — where ring-3 covers
+    the whole clamped grid — is exempt from both distance prunes, so
+    its completeness argument is coverage, not radius (the ladder's
+    full-ring round plays the same role).
+
     Spark shape: 2 internal barriers (target count; level-selection
     materialization) + the caller's action — versus 5-7 sequential
     rounds each with its own barrier and broadcast build. Everything is
-    JVM column arithmetic; join sides are size-picked (broadcast the
-    exploded target side when n_targets × levels_used ≤ broadcast_limit,
+    JVM column arithmetic; join sides are size-picked from exact
+    driver-side counts (broadcast the small exploded probe ring /
+    broadcast the filtered target union when it fits broadcast_limit /
     else shuffle on cell — the standard path at cluster scale).
 
     Ties break by (dist, target_id) — identical to the ladder, so the
@@ -120,21 +168,26 @@ def knn_join_oneshot(
         F.col(y_col).alias("t_y"),
     ).persist()
     # density probe (ONE action — materializes the cache too, exactly as
-    # the ladder's): the hottest res-cell population bounds how deep the
-    # counts pyramid can possibly be useful. Splitting past the level
-    # where the hottest cell holds ~k/4 targets cannot change any
-    # probe's selection (a finer neighborhood of a ≤k/4-per-cell region
-    # cannot reach k), so the chain's fine end is trimmed there — at
-    # uniform density that cuts the pyramid from 8 levels to 2-4, and
-    # the trim is pure scheduling: any level with cnt3 ≥ k yields an
-    # exact proof, finer ones only shrink candidate counts.
+    # the ladder's): exact per-res-cell counts. Everything scheduled from
+    # here is driver arithmetic over ≤4^res dict entries — at cluster
+    # scale this is the query you'd answer from catalog statistics.
     t0 = time.time() if _DEBUG else 0.0
-    counts0 = (t.groupBy(cell_col(F.col("t_x"), F.col("t_y"), res).alias("c"))
+    # cell assignment CLAMPS out-of-extent coordinates to border cells
+    # (grid.py keeps the algebra total), which would break every radius
+    # proof below — a clamped target counts toward a border cell but can
+    # be arbitrarily far from it. Split the counts: only in-extent
+    # targets feed the pyramid/selection statistics; out-of-extent ones
+    # ride the FLOOR level, where completeness comes from whole-grid
+    # ring coverage, not from a radius (same role as the ladder's
+    # full-ring round).
+    in_t = ((F.col("t_x") >= 0) & (F.col("t_x") < F.lit(EXTENT))
+            & (F.col("t_y") >= 0) & (F.col("t_y") < F.lit(EXTENT)))
+    counts0 = (t.groupBy(cell_col(F.col("t_x"), F.col("t_y"), res).alias("c"),
+                         in_t.alias("i"))
                .agg(F.count(F.lit(1)).alias("n")).collect())
     if _DEBUG:
         print(f"[knn1s] density probe wall={time.time() - t0:.2f}s", flush=True)
     n_targets = sum(r["n"] for r in counts0)
-    hottest = max((r["n"] for r in counts0), default=0)
     global _LAST_SCHEDULE
     if n_targets < k:
         t.unpersist()
@@ -142,27 +195,109 @@ def knn_join_oneshot(
         return spark.createDataFrame(
             [], schema=f"{probe_id_col} string, {target_id_col} string, "
                        "dist double, rank int")
-    target_cell = max(1.0, k / 4.0)
-    depth = 0
-    if hottest > target_cell:
-        depth = math.ceil(math.log(hottest / target_cell, 4))
-        depth += depth % 2  # even steps
-    finest = min(res + depth, res + ((16 - res) // 2) * 2)
-    # even-step level chain down to the floor where ring-1 covers the
-    # whole (clamped) grid
-    chain = list(range(finest, -1, -2))  # e.g. res=7 → 15,13,...,3,1
+    max_depth = ((16 - res) // 2) * 2
 
-    # 1. per-(level, cell) counts in ONE aggregation: explode each target
-    #    to its cell at every chain level, hash-aggregate. (A parent
-    #    roll-up pyramid shuffles fewer bytes, but its |chain| CHAINED
-    #    aggregations + union cost ~15s of Catalyst compilation alone —
-    #    measured — while this plan is explode→agg. Map-side partial
-    #    aggregation keeps the shuffle at ~distinct-cells volume anyway.)
-    cnt = t.select(F.explode(F.array(*[
-        cell_col(F.col("t_x"), F.col("t_y"), lvl) for lvl in chain
-    ])).alias("cell")).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    # d*(n): deepest EVEN offset d where the cell's ring-1 neighborhood
+    # can still reach k targets (9·n/4^d ≥ k at uniform spread) — levels
+    # deeper than res+d*(hottest neighborhood) are unselectable, so the
+    # pyramid never builds them. even-floor, not ceil: overshooting by a
+    # step doubles the pyramid rows for levels whose cnt3 < k everywhere.
+    def _dstar(n: int) -> int:
+        if 9 * n < k:
+            return 0
+        d = int(math.log(9 * n / k, 4))
+        return min(d - (d % 2), max_depth)
+
+    cells: dict = {}
+    out_cells: dict = {}
+    for r in counts0:
+        side = cells if r["i"] else out_cells
+        side[r["c"]] = side.get(r["c"], 0) + r["n"]
+    out_n = sum(out_cells.values())
+    # dilated depth maps over the res grid: a probe's fine ring-1 reaches
+    # ≤ one res-neighbor over (3·s_L < s_res for L ≥ res+2) → dil1 for
+    # the probe ancestor chain; a ring-3 candidate cell sits ≤ Chebyshev
+    # 2 from the depth-carrying cell that justified the probe's level →
+    # dil2 for the target explode + candidate union (the exactness
+    # argument in the docstring).
+    _m = (1 << (_RES_SHIFT - _IX_SHIFT)) - 1
+    hi_ix = (1 << res) - 1
+    dil1: dict = {}
+    dil2: dict = {}
+    for c, n in cells.items():
+        d = _dstar(n)
+        if d <= 0:
+            continue
+        ix, iy = (c >> _IX_SHIFT) & _m, c & _m
+        for dx in range(-2, 3):
+            nx = ix + dx
+            if nx < 0 or nx > hi_ix:
+                continue
+            for dy in range(-2, 3):
+                ny = iy + dy
+                if ny < 0 or ny > hi_ix:
+                    continue
+                nc = (res << _RES_SHIFT) | (nx << _IX_SHIFT) | ny
+                if dil2.get(nc, 0) < d:
+                    dil2[nc] = d
+                if abs(dx) <= 1 and abs(dy) <= 1 and dil1.get(nc, 0) < d:
+                    dil1[nc] = d
+    max_fine = max(dil2.values(), default=0)
+    fine_levels = list(range(res + 2, res + max_fine + 1, 2))
+
+    # sub-res pyramid + its floor rolled up DRIVER-side from the exact
+    # density probe (the first cut exploded 5.3M targets × 4 sub-res
+    # levels through a Spark aggregation to recompute numbers this dict
+    # roll-up derives in microseconds). Floor level ≤ 1: ring-1 covers
+    # the whole clamped grid, so cnt3 = n_targets ≥ k — selection total.
+    sub_levels = list(range(res, -1, -2))
+    lvl_counts = {res: {}}
+    for c, n in cells.items():
+        key = ((c >> _IX_SHIFT) & _m, c & _m)
+        lvl_counts[res][key] = lvl_counts[res].get(key, 0) + n
+    for L in sub_levels[1:]:
+        up: dict = {}
+        for (ix, iy), n in lvl_counts[L + 2].items():
+            key = (ix >> 2, iy >> 2)
+            up[key] = up.get(key, 0) + n
+        lvl_counts[L] = up
+    sub_rows = [((L << _RES_SHIFT) | (ix << _IX_SHIFT) | iy, n)
+                for L, m in lvl_counts.items() for (ix, iy), n in m.items()]
+    floor_lvl = sub_levels[-1]
+    if out_n:
+        # out-of-extent targets count ONLY at the floor, where ring-1
+        # (and ring-3) cover the whole clamped grid — one row suffices:
+        # every floor cell's ring-1 contains every floor cell
+        sub_rows.append(((floor_lvl << _RES_SHIFT), out_n))
+    sub_df = spark.createDataFrame(sub_rows, "cell long, n long")
+
+    # 1. fine counts pyramid, density-local: each target explodes only to
+    #    the levels its dilated res-neighborhood can select (zero rows in
+    #    flat regions, 2-3 levels at typical density, the full chain only
+    #    under the hot sheet).
+    depth_rows = sorted(set(dil1) | set(dil2))
+    depth_df = spark.createDataFrame(
+        [(c, dil1.get(c, 0), dil2.get(c, 0)) for c in depth_rows],
+        "d_cell long, p_dil int, t_dil int") if depth_rows else None
+    if depth_df is not None and fine_levels:
+        t2 = (t.withColumn("_rc", cell_col(F.col("t_x"), F.col("t_y"), res))
+              .join(F.broadcast(depth_df.select("d_cell", "t_dil")),
+                    F.col("_rc") == F.col("d_cell"), "left")
+              .withColumn("t_dil", F.coalesce(F.col("t_dil"), F.lit(0))))
+        fine_arr = F.array(*[cell_col(F.col("t_x"), F.col("t_y"), L)
+                             for L in fine_levels])
+        t_lim = (F.lit(res) + F.col("t_dil")).cast("long")
+        cnt_fine = (t2.filter(in_t)  # clamped targets never feed a radius proof
+                    .select(F.explode(F.filter(
+                        fine_arr,
+                        lambda c: F.shiftright(c, _RES_SHIFT) <= t_lim))
+                    .alias("cell"))
+                    .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+        cnt_all = cnt_fine.unionByName(sub_df)
+    else:
+        cnt_all = sub_df
     # 2. ring-1 neighborhood mass per cell (level rides in the cell id)
-    cnt3 = (cnt
+    cnt3 = (cnt_all
             .select(F.explode(k_ring_col(F.col("cell"), 1)).alias("cell"), "n")
             .groupBy("cell").agg(F.sum("n").alias("n3")))
 
@@ -181,11 +316,34 @@ def knn_join_oneshot(
         p0 = p0.repartition(par * 4)
     if _DEBUG:
         print(f"[knn1s] p0.rdd probe wall={time.time() - t0:.2f}s", flush=True)
-    anc = p0.select(
-        probe_id_col, "p_x", "p_y",
-        F.explode(F.array(*[
-            cell_col(F.col("p_x"), F.col("p_y"), lvl) for lvl in chain
-        ])).alias("cell"))
+    # ancestor-chain cells: every sub-res level (selection floor) plus
+    # the fine levels the probe's dilated res-neighborhood can justify
+    sub_arr = F.array(*[cell_col(F.col("p_x"), F.col("p_y"), L)
+                        for L in sub_levels])
+    if depth_df is not None and fine_levels:
+        p1 = (p0.withColumn("_rc", cell_col(F.col("p_x"), F.col("p_y"), res))
+              .join(F.broadcast(depth_df.select("d_cell", "p_dil")),
+                    F.col("_rc") == F.col("d_cell"), "left")
+              .withColumn("p_dil", F.coalesce(F.col("p_dil"), F.lit(0))))
+        fine_arr_p = F.array(*[cell_col(F.col("p_x"), F.col("p_y"), L)
+                               for L in fine_levels])
+        p_lim = (F.lit(res) + F.col("p_dil")).cast("long")
+        anc_cells = F.concat(
+            F.filter(fine_arr_p,
+                     lambda c: F.shiftright(c, _RES_SHIFT) <= p_lim),
+            sub_arr)
+    else:
+        p1 = p0
+        anc_cells = sub_arr
+    # an out-of-extent probe gets no radius proof at any level (its cell
+    # is a clamp artifact) — route it straight to the floor, where the
+    # candidate ring covers the whole grid and top-k needs no radius
+    in_p = ((F.col("p_x") >= 0) & (F.col("p_x") < F.lit(EXTENT))
+            & (F.col("p_y") >= 0) & (F.col("p_y") < F.lit(EXTENT)))
+    anc_cells = F.when(in_p, anc_cells).otherwise(
+        F.array(cell_col(F.col("p_x"), F.col("p_y"), floor_lvl)))
+    anc = p1.select(
+        probe_id_col, "p_x", "p_y", F.explode(anc_cells).alias("cell"))
     # lazy checkpoint + the distinct-levels collect as its materializing
     # action (same single-barrier trick as the ladder's round state):
     # one job computes the counts pyramid + selection, truncates their
@@ -197,6 +355,11 @@ def knn_join_oneshot(
            .agg(F.max("cell").alias("p_cell"))
            .withColumn("lvl", (F.col("p_cell")
                                / F.lit(1 << _RES_SHIFT)).cast("int"))
+           # AQE coalesces the selection aggregate to a handful of
+           # partitions; the ring explode below does ~49× the rows of
+           # its input per task, so spread the checkpoint blocks wide
+           # enough for every core to get several waves
+           .repartition(par * 4)
            .localCheckpoint(eager=False))
     if _DEBUG:
         print(f"[knn1s] sel plan build wall={time.time() - t0:.2f}s", flush=True)
@@ -207,8 +370,9 @@ def knn_join_oneshot(
     n_sel = sum(by_lvl.values())
     _LAST_SCHEDULE = [("oneshot", used)]
     if _DEBUG:
-        print(f"[knn1s] selection wall={time.time() - t0:.2f}s chain={chain} "
-              f"by_lvl={by_lvl}", flush=True)
+        print(f"[knn1s] selection wall={time.time() - t0:.2f}s "
+              f"fine={fine_levels} sub={sub_levels} by_lvl={by_lvl}",
+              flush=True)
     if not used:  # pragma: no cover — unreachable once n_targets ≥ k
         t.unpersist()
         return spark.createDataFrame(
@@ -217,37 +381,92 @@ def knn_join_oneshot(
 
     # 4. single candidate join: probe ring-3 cells vs targets keyed at
     #    each USED level (union of narrow per-level projections of the
-    #    cached table — one broadcast build total, not one per round)
-    t_exp = reduce(DataFrame.unionByName, [
-        t.select(target_id_col, "t_x", "t_y",
-                 cell_col(F.col("t_x"), F.col("t_y"), lvl).alias("cell"))
-        for lvl in used
-    ])
-    ring = sel.withColumn("cell", F.explode(k_ring_col(F.col("p_cell"), 3)))
-    # join-side pick from exact driver-side counts (checkpointed sources
-    # defeat Catalyst's estimates — same rationale as the ladder's):
-    # broadcast the exploded probe ring when small (streams the cached
-    # target branches map-side with no shuffle at all), else broadcast
-    # the level-exploded target side when it fits, else shuffle both on
-    # cell — the standard path at cluster scale.
-    if n_sel * 49 <= 400_000:
-        ring = F.broadcast(ring)
-    elif n_targets * len(used) <= broadcast_limit:
-        t_exp = F.broadcast(t_exp)
+    #    cached table — one broadcast build total, not one per round).
+    #    Fine branches keep only targets whose dilated res-neighborhood
+    #    justifies that level (exact — see docstring; the driver knows
+    #    each branch's row count EXACTLY from the density probe, so the
+    #    join-side decision needs no Catalyst estimate).
     s_lvl = F.lit(EXTENT) / F.pow(F.lit(2.0), F.col("lvl").cast("double"))
-    # kth-NN dist is strictly < 2√2·s_L by the selection proof; the tiny
-    # relative margin only guards FP noise in the distance evaluation
+    # kth-NN dist is ≤ 2√2·s_L by the selection proof; the tiny relative
+    # margin only guards FP noise in the distance evaluation
     safe = F.lit(2.8284271247461903) * s_lvl * F.lit(1.0 + 1e-9)
-    cand = (ring.join(t_exp, "cell", "inner")
-            .withColumn("dist", F.sqrt(
-                (F.col("p_x") - F.col("t_x")) ** 2
-                + (F.col("p_y") - F.col("t_y")) ** 2))
-            .filter(F.col("dist") <= safe))
-    if cell_prune:
-        w_cell = Window.partitionBy(probe_id_col, "cell") \
-            .orderBy(F.col("dist"), F.col(target_id_col))
-        cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
-            .filter(F.col("_cr") <= k).drop("_cr")
+
+    def _cand_branch(levels_part: list) -> DataFrame | None:
+        """Candidate join for the probes whose selected level is in
+        levels_part. Splitting fine (> res) from coarse (≤ res) keeps the
+        per-(probe, cell) skew prune OFF the fine branch — at a selected
+        fine level every ring cell holds ~k/9 targets by construction,
+        so the prune's extra full shuffle+sort of the candidate set
+        removes ~nothing (the ladder measured the same); the coarse
+        branch (hot cells can hold 10^5+ targets) keeps it."""
+        n_part = sum(by_lvl.get(L, 0) for L in levels_part)
+        if n_part == 0:
+            return None
+        coarse = levels_part[0] <= res
+        sel_p = sel.filter((F.col("lvl") <= res) if coarse
+                           else (F.col("lvl") > res))
+        branches, est_texp = [], 0
+        for lvl in levels_part:
+            if by_lvl.get(lvl, 0) == 0:
+                continue
+            proj = [F.col(target_id_col), F.col("t_x"), F.col("t_y"),
+                    cell_col(F.col("t_x"), F.col("t_y"), lvl).alias("cell")]
+            if lvl > res:
+                branches.append(
+                    t2.filter(F.col("t_dil") >= lvl - res).select(*proj))
+                est_texp += sum(n for c, n in cells.items()
+                                if dil2.get(c, 0) >= lvl - res)
+                est_texp += sum(n for c, n in out_cells.items()
+                                if dil2.get(c, 0) >= lvl - res)
+            else:
+                branches.append(t.select(*proj))
+                est_texp += n_targets
+        t_exp = reduce(DataFrame.unionByName, branches)
+        ring = sel_p.withColumn(
+            "cell", F.explode(k_ring_col(F.col("p_cell"), 3)))
+        # exact geometric prune BEFORE the join: a ring cell whose
+        # closest point to the probe is beyond the safe radius cannot
+        # hold a candidate the dist filter would keep — drops most of
+        # ring-3's 24 outer cells (the safe disk covers ~25 of 49 cells)
+        rx0 = cell_ix(F.col("cell")).cast("double") * s_lvl
+        ry0 = cell_iy(F.col("cell")).cast("double") * s_lvl
+        gap_x = F.greatest(F.lit(0.0), rx0 - F.col("p_x"),
+                           F.col("p_x") - rx0 - s_lvl)
+        gap_y = F.greatest(F.lit(0.0), ry0 - F.col("p_y"),
+                           F.col("p_y") - ry0 - s_lvl)
+        # the FLOOR level is complete by whole-grid ring coverage, not by
+        # a radius — exempt it from both distance prunes (this is what
+        # keeps clamped out-of-extent probes/targets exact)
+        at_floor = F.col("lvl") == F.lit(floor_lvl)
+        ring = ring.filter(
+            at_floor | (gap_x * gap_x + gap_y * gap_y <= safe * safe))
+        # join-side pick from exact driver-side counts (checkpointed
+        # sources defeat Catalyst's estimates — same rationale as the
+        # ladder's): broadcast the exploded probe ring when small
+        # (streams the cached target branches map-side with no shuffle
+        # at all), else broadcast the level-exploded target side when it
+        # fits, else shuffle both on cell — the standard path at
+        # cluster scale.
+        if n_part * 49 <= 400_000:
+            ring = F.broadcast(ring)
+        elif est_texp <= broadcast_limit:
+            t_exp = F.broadcast(t_exp)
+        cand = (ring.join(t_exp, "cell", "inner")
+                .withColumn("dist", F.sqrt(
+                    (F.col("p_x") - F.col("t_x")) ** 2
+                    + (F.col("p_y") - F.col("t_y")) ** 2))
+                .filter(at_floor | (F.col("dist") <= safe)))
+        if cell_prune and coarse:
+            w_cell = Window.partitionBy(probe_id_col, "cell") \
+                .orderBy(F.col("dist"), F.col(target_id_col))
+            cand = cand.withColumn("_cr", F.row_number().over(w_cell)) \
+                .filter(F.col("_cr") <= k).drop("_cr")
+        return cand.select(probe_id_col, target_id_col, "dist")
+
+    parts = [b for b in (_cand_branch([L for L in used if L > res]),
+                         _cand_branch([L for L in used if L <= res]))
+             if b is not None]
+    cand = reduce(DataFrame.unionByName, parts)
     w = Window.partitionBy(probe_id_col).orderBy(F.col("dist"), F.col(target_id_col))
     t0 = time.time() if _DEBUG else 0.0
     out = (cand.withColumn("rank", F.row_number().over(w))

@@ -291,3 +291,60 @@ def test_knn_oneshot_sparse_probe_near_cluster(spark):
     for pid, rows in by_probe.items():
         rows.sort()
         assert [t for _, t in rows] == [t for t, _ in exp[pid]]
+
+
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_out_of_extent_points_exact(spark, strategy):
+    """grid.py clamps out-of-extent coordinates to border cells, which
+    voids every cell-radius argument for those rows. Both strategies
+    must stay exact: the ladder resolves on measured kth_dist (full-ring
+    tail), the one-shot strategy excludes clamped targets from its count
+    statistics and routes clamped probes to the whole-grid floor."""
+    rng = np.random.default_rng(23)
+    inside = rng.uniform(0, 8192, size=(300, 2))
+    out_t = np.array([[-500.0, 4000.0], [9000.0, 9500.0], [4000.0, -50.0]])
+    targets = np.vstack([inside, out_t])
+    probes = np.array([
+        [10.0, 10.0],          # border, nearest may be a clamped target
+        [-2000.0, 4000.0],     # clamped probe west
+        [8200.0, 8200.0],      # clamped probe just past the NE corner
+        [4000.0, 4000.0],      # interior control
+    ])
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(targets)],
+        "target_id string, x double, y double")
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
+        "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=4, res=6, strategy=strategy).collect()
+    exp = brute_knn(probes, targets, 4)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id, r.dist))
+    assert set(by_probe) == set(exp)
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t, _ in rows] == [t for t, _ in exp[pid]], pid
+        for (_, _, dg), (_, de) in zip(rows, exp[pid]):
+            assert dg == pytest.approx(de, rel=1e-12)
+
+
+def test_knn_oneshot_all_targets_clamped(spark):
+    """Every target out of extent: the one-shot floor must still answer
+    every probe (counts live only on the floor row)."""
+    targets = [("t0", -10.0, -10.0), ("t1", 9000.0, 9000.0),
+               ("t2", -5.0, 9000.0)]
+    probes = [("p0", 100.0, 100.0), ("p1", 8000.0, 8000.0)]
+    tdf = spark.createDataFrame(targets, "target_id string, x double, y double")
+    pdf = spark.createDataFrame(probes, "probe_id string, x double, y double")
+    got = knn_join(pdf, tdf, k=2, res=6, strategy="oneshot").collect()
+    tarr = np.array([[x, y] for _, x, y in targets])
+    parr = np.array([[x, y] for _, x, y in probes])
+    exp = brute_knn(parr, tarr, 2)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.target_id))
+    assert set(by_probe) == {"p0", "p1"}
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert [t for _, t in rows] == [t for t, _ in exp[pid]]
