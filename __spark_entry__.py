@@ -564,13 +564,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(token_count(F.col("text"))).alias("total_tokens"))
     q["q_text_span_tokens"] = q_text_span_tokens
 
-    def q_knn_points(spark, sf_dir):  # J11 kNN ring-expansion join
+    def q_knn_points(spark, sf_dir):  # J11 kNN join — oneshot strategy
+        # Pins strategy="oneshot" so the radius-proof formulation stays
+        # driver-gated at sf0.01 (the "auto" default would dispatch this
+        # tiny probe side to the ladder, which q_knn_dense already gates;
+        # auto itself is a count + the two gated paths, unit-tested).
         pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT").select(
             F.col("handle"), F.col("xmin").alias("x"), F.col("ymin").alias("y"))
         probes = pts.filter(F.col("handle").endswith("7a")).select(
             F.col("handle").alias("probe_id"), "x", "y")
         targets = pts.select(F.col("handle").alias("target_id"), "x", "y")
-        out = knn_join(probes, targets, k=5, res=7)
+        out = knn_join(probes, targets, k=5, res=7, strategy="oneshot")
         return out.select("probe_id", "target_id", F.round("dist", 6).alias("dist"), "rank")
     q["q_knn_points"] = q_knn_points
 

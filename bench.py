@@ -227,9 +227,10 @@ def main() -> None:
         all_pts = pts.select(F.col("handle").alias("target_id"), "x", "y")
         n_probes = int(os.environ.get("BENCH_KNN_PROBES", "2000"))
         probes = pts.limit(n_probes).select(F.col("handle").alias("probe_id"), "x", "y")
-        # fine_res="auto" (default) probes hot-cell density and switches to
-        # the multi-resolution schedule only when a dense CAD sheet would
-        # otherwise make the candidate join quadratic (10^5-point cells)
+        # default strategy="auto": one probe-count action, then the ladder
+        # below 2M probes (barrier floor beats the oneshot's
+        # target-proportional pyramid there) or the oneshot at scale —
+        # SPARK_GRAFT_KNN_STRATEGY pins either for A/B runs
         timed("knn_join", lambda: _force(
             knn_join(probes, all_pts, k=5, res=7)))
 

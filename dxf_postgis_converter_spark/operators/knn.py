@@ -3,15 +3,28 @@
 Two strategies implement one contract (output-identical row for row,
 ties broken by (dist, target_id)):
 
-- "oneshot" (default) — knn_join_oneshot: proves each probe's search
-  radius up front from a per-(level, cell) counts pyramid and runs ONE
-  candidate join. Zero driver rounds, 2 internal barriers — the
-  scale-first formulation (the ladder's per-round barrier floor capped
-  measured N→4N efficiency at ~0.64, BENCH_SCALING_KNN1M.json).
+- "oneshot" — knn_join_oneshot: proves each probe's search radius up
+  front from a per-(level, cell) counts pyramid and runs ONE candidate
+  join. Zero driver rounds, 2 internal barriers — the scale-first
+  formulation (the ladder's per-round barrier floor capped measured
+  N→4N efficiency at ~0.64, BENCH_SCALING_KNN1M.json; the oneshot
+  measures 0.899 at the 5.3M-probe self-join,
+  BENCH_SCALING_KNN5M_ONESHOT.json).
 - "ladder" — the iterative ring-expansion loop below (SURVEY §4.3 "kNN
   ring expansion loop — driver-side iterative algorithm"), kept as the
   driver-gated second implementation and for explicitly pinned
   schedules.
+- "auto" (default) — ONE cheap probe-side count, then dispatch on the
+  measured crossover: the pyramid/selection phase costs a
+  target-proportional floor (~6s at 530k targets on this box) that only
+  pays off once per-probe work dominates, while the ladder's per-round
+  barriers GROW with probe count (fit f: 13.5s→20s→75s at
+  200k→10^6→5.3M probes). Measured walls cross between 10^6 and 5.3M
+  probes (at local[32]: ladder wins 4.4s vs 7.6s at 2k probes, oneshot
+  wins 82.1s vs 100.1s at 5.3M — BENCH_SCALING_KNN5M_X32.json), so
+  auto picks the ladder below auto_oneshot_min probes and the oneshot
+  at or above it. Callers with an expensive probe pipeline should
+  persist it or pin a strategy (the count re-executes the probe plan).
 
 Ladder algorithm:
 
@@ -62,8 +75,9 @@ from ..index.grid import (
 
 _DEBUG = bool(os.environ.get("SPARK_GRAFT_KNN_DEBUG"))
 # scaling-harness A/B knob: pins every default-strategy knn_join call to
-# "oneshot" (default) or "ladder" without touching call sites
-_DEFAULT_STRATEGY = os.environ.get("SPARK_GRAFT_KNN_STRATEGY", "oneshot")
+# "oneshot", "ladder", or "auto" (default — probe-count dispatch, see
+# module doc) without touching call sites
+_DEFAULT_STRATEGY = os.environ.get("SPARK_GRAFT_KNN_STRATEGY", "auto")
 
 # trace of the most recent knn_join's executed rounds as (res, ring_r)
 # tuples — introspection hook for tests/bench asserting the dynamic
@@ -497,19 +511,24 @@ def knn_join(
     fine_res: int | None | str = "auto",
     hot_cell_threshold: int = 75_000,
     strategy: str | None = None,
+    auto_oneshot_min: int = 2_000_000,
 ) -> DataFrame:
     """-> (probe_id, target_id, dist, rank) with rank in 1..k per probe.
 
     probes: (probe_id, x, y); targets: (target_id, x, y). Ties broken by
     target_id for determinism.
 
-    strategy="oneshot" (default) runs the non-iterative formulation
+    strategy="oneshot" runs the non-iterative formulation
     (knn_join_oneshot above — provable per-probe search radius from grid
     statistics, zero driver rounds); it is output-identical to the
     ladder. strategy="ladder", or an explicit integer/None fine_res,
     runs the iterative ring-expansion ladder documented below — kept
     both as the driver-gated second implementation of the same contract
-    and for schedules the tests pin explicitly.
+    and for schedules the tests pin explicitly. strategy="auto" (the
+    default) counts the probe side once and picks the ladder below
+    auto_oneshot_min probes, the oneshot at or above it — the measured
+    crossover regime (module doc); the decision is recorded as a
+    leading ("auto", [n_probes]) entry in _LAST_SCHEDULE.
 
     Ladder: the default fine_res="auto" measures the
     per-coarse-cell target population (one hash-aggregate that also
@@ -523,8 +542,25 @@ def knn_join(
     whole-cohort ladder. An explicit integer fine_res (legacy path)
     instead runs every probe through r=1,2 rounds at every even level
     from fine_res down to res."""
+    global _LAST_SCHEDULE
     if strategy is None:
         strategy = _DEFAULT_STRATEGY
+    if strategy == "auto":
+        if fine_res != "auto":
+            strategy = "ladder"  # an explicitly pinned schedule IS the ladder
+        else:
+            # one cheap action (narrow scan + count, no shuffle) buys the
+            # regime dispatch — see module doc for the measured crossover
+            n_probes_auto = probes.count()
+            strategy = ("oneshot" if n_probes_auto >= auto_oneshot_min
+                        else "ladder")
+            out = knn_join(
+                probes, targets, k, res=res, probe_id_col=probe_id_col,
+                target_id_col=target_id_col, x_col=x_col, y_col=y_col,
+                max_rounds=max_rounds, fine_res=fine_res,
+                hot_cell_threshold=hot_cell_threshold, strategy=strategy)
+            _LAST_SCHEDULE.insert(0, ("auto", [n_probes_auto]))
+            return out
     if strategy == "oneshot" and fine_res == "auto":
         return knn_join_oneshot(
             probes, targets, k, res=res, probe_id_col=probe_id_col,
@@ -714,7 +750,6 @@ def knn_join(
 
     def active_at(offset: int) -> int:
         return sum(n for d, n in unres_by_depth.items() if d >= offset)
-    global _LAST_SCHEDULE
     _LAST_SCHEDULE = sched = []
     while rounds < max_rounds:
         res_i = levels[level_idx]

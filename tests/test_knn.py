@@ -219,10 +219,10 @@ def test_knn_ladder_with_fewer_targets_than_k(spark):
 
 
 def test_knn_oneshot_dense_hot_cell_exact(spark):
-    """The default (one-shot) strategy on a dense hot cell + scattered
-    probes: level selection must pick fine levels for the core and
-    coarse for the sparse region, and the answer must equal brute force
-    exactly — the same workload shape as the ladder's hot-sheet gate."""
+    """The one-shot strategy on a dense hot cell + scattered probes:
+    level selection must pick fine levels for the core and coarse for
+    the sparse region, and the answer must equal brute force exactly —
+    the same workload shape as the ladder's hot-sheet gate."""
     import dxf_postgis_converter_spark.operators.knn as knn_mod
     rng = np.random.default_rng(9)
     dense = rng.normal(loc=(700, 700), scale=12, size=(3000, 2))
@@ -238,7 +238,7 @@ def test_knn_oneshot_dense_hot_cell_exact(spark):
     pdf = spark.createDataFrame(
         [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
         "probe_id string, x double, y double")
-    got = knn_join(pdf, tdf, k=3, res=6).collect()
+    got = knn_join(pdf, tdf, k=3, res=6, strategy="oneshot").collect()
     tag, used = knn_mod._LAST_SCHEDULE[0]
     assert tag == "oneshot"
     # core probes select a finer level than the sparse ones
@@ -266,6 +266,30 @@ def test_knn_oneshot_equals_ladder(knn_data):
     assert a == b
 
 
+def test_knn_auto_dispatch(knn_data):
+    """strategy="auto" (the default) counts the probe side and picks the
+    ladder below auto_oneshot_min, the oneshot at or above it — the
+    decision is recorded as a leading ("auto", [n_probes]) entry, and
+    the output equals the pinned strategies either way."""
+    import dxf_postgis_converter_spark.operators.knn as knn_mod
+    pdf, tdf, _, _ = knn_data
+    pinned = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7,
+                                        strategy="ladder").collect()))
+    n_probes = pdf.count()
+
+    low = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7, strategy="auto",
+                                     auto_oneshot_min=1).collect()))
+    assert knn_mod._LAST_SCHEDULE[0] == ("auto", [n_probes])
+    assert knn_mod._LAST_SCHEDULE[1][0] == "oneshot"
+    assert low == pinned
+
+    high = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7, strategy="auto",
+                                      auto_oneshot_min=10**9).collect()))
+    assert knn_mod._LAST_SCHEDULE[0] == ("auto", [n_probes])
+    assert knn_mod._LAST_SCHEDULE[1][0] != "oneshot"  # ladder rounds follow
+    assert high == pinned
+
+
 def test_knn_oneshot_sparse_probe_near_cluster(spark):
     """A probe in empty space beside a huge cluster: its neighborhood
     count first clears k at a coarse level whose ring-3 sweeps in the
@@ -282,7 +306,7 @@ def test_knn_oneshot_sparse_probe_near_cluster(spark):
     pdf = spark.createDataFrame(
         [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(probes)],
         "probe_id string, x double, y double")
-    got = knn_join(pdf, tdf, k=5, res=7).collect()
+    got = knn_join(pdf, tdf, k=5, res=7, strategy="oneshot").collect()
     exp = brute_knn(probes, targets, 5)
     by_probe = {}
     for r in got:
