@@ -122,3 +122,51 @@ def test_no_row_python_udfs_anywhere(entities_df, zones_df, docs_df):
     for df in dfs:
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_knn_oneshot_job_count_input_independent(spark):
+    """The oneshot's scale property, asserted at the scheduler level: its
+    Spark job count must NOT depend on the data's density profile (the
+    ladder's grows with the round count its schedule needs — that
+    per-round barrier floor is exactly what the oneshot removes, and
+    what the 0.899 N→4N measurement rests on)."""
+    import numpy as np
+
+    from dxf_postgis_converter_spark.operators.knn import knn_join
+
+    sc = spark.sparkContext
+    rng = np.random.default_rng(3)
+    uniform_t = rng.uniform(0, 8192, size=(3000, 2))
+    dense_t = np.vstack([
+        rng.normal(loc=(700, 700), scale=10, size=(2800, 2)),
+        rng.uniform(0, 8192, size=(200, 2)),
+    ])
+    probes = rng.uniform(0, 8192, size=(60, 2))
+
+    def mkdf(pts, pre, schema):
+        return spark.createDataFrame(
+            [(f"{pre}{i}", float(x), float(y)) for i, (x, y) in enumerate(pts)],
+            schema)
+
+    pdf = mkdf(probes, "p", "probe_id string, x double, y double")
+
+    def jobs(name, tpts, strat):
+        tdf = mkdf(tpts, "t", "target_id string, x double, y double")
+        sc.setJobGroup(name, "job-count probe")
+        try:
+            knn_join(pdf, tdf, k=3, res=6, strategy=strat).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    one_uniform = jobs("knn-jc-1u", uniform_t, "oneshot")
+    one_dense = jobs("knn-jc-1d", dense_t, "oneshot")
+    ladder_uniform = jobs("knn-jc-lu", uniform_t, "ladder")
+    ladder_dense = jobs("knn-jc-ld", dense_t, "ladder")
+
+    # round-free: identical job count whatever the density asks for
+    assert one_uniform == one_dense, (one_uniform, one_dense)
+    # the ladder's schedule (and thus job count) grows on the dense sheet;
+    # the oneshot must undercut it there (measured 19 vs 61 at pin time)
+    assert ladder_dense > ladder_uniform, (ladder_dense, ladder_uniform)
+    assert one_dense < ladder_dense, (one_dense, ladder_dense)
