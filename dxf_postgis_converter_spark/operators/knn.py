@@ -561,7 +561,13 @@ def knn_join(
                 hot_cell_threshold=hot_cell_threshold, strategy=strategy)
             _LAST_SCHEDULE.insert(0, ("auto", [n_probes_auto]))
             return out
-    if strategy == "oneshot" and fine_res == "auto":
+    if strategy == "oneshot":
+        if fine_res != "auto":
+            # silently running the ladder here would hand back a
+            # different physical strategy than the caller named
+            raise ValueError(
+                "strategy='oneshot' has no fine_res schedule — leave "
+                "fine_res='auto' (default) or use strategy='ladder'")
         return knn_join_oneshot(
             probes, targets, k, res=res, probe_id_col=probe_id_col,
             target_id_col=target_id_col, x_col=x_col, y_col=y_col)

@@ -372,3 +372,12 @@ def test_knn_oneshot_all_targets_clamped(spark):
     for pid, rows in by_probe.items():
         rows.sort()
         assert [t for _, t in rows] == [t for t, _ in exp[pid]]
+
+
+def test_knn_oneshot_rejects_explicit_fine_res(knn_data):
+    """strategy='oneshot' with a pinned fine_res is contradictory (the
+    oneshot has no ladder schedule) — it must fail loudly instead of
+    silently running the other strategy."""
+    pdf, tdf, _, _ = knn_data
+    with pytest.raises(ValueError, match="oneshot"):
+        knn_join(pdf, tdf, k=3, res=7, fine_res=11, strategy="oneshot")
