@@ -409,6 +409,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table("q_events_stream_sink")
     q["q_events_hourly_stream"] = q_events_hourly_stream
 
+    def q_events_dedup_stream(spark, sf_dir):  # stateful streaming exact-dedup
+        """dropDuplicatesWithinWatermark under the oracle: the source is
+        re-delivered at-least-once (every 3rd event written twice —
+        deterministic duplicate injection, the failure mode the operator
+        exists for), the stream must restore the exact original set.
+        Watermark 1440h > the corpus' 30-day ts span, so the dedup state
+        never expires mid-drain and no file-ordering can make a row
+        "late": the result is the global exact dedup regardless of which
+        micro-batch a duplicate lands in (streaming/events.py:58)."""
+        import tempfile
+
+        from dxf_postgis_converter_spark.streaming.events import (
+            dedup_events, read_event_stream, run_available_now,
+        )
+        src = tempfile.mkdtemp(prefix="evt_dedup_src_")
+        ck = tempfile.mkdtemp(prefix="evt_dedup_ck_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.unionByName(ev.filter(F.col("event_id") % 3 == 0)) \
+            .write.mode("overwrite").parquet(src)
+        stream = dedup_events(
+            read_event_stream(spark, src, max_files_per_trigger=2),
+            watermark="1440 hours")
+        run_available_now(stream, ck, "q_events_dedup_sink",
+                          output_mode="append")
+        t = spark.table("q_events_dedup_sink")
+        return t.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            _dec_sum("value", "total_value"))
+    q["q_events_dedup_stream"] = q_events_dedup_stream
+
     def q_helmert(spark, sf_dir):  # F7 conformal transform as column expr
         p = load_table(spark, sf_dir, "part")
         a, b, tx, ty = 2.0, 0.5, 100.0, -50.0
@@ -1264,6 +1294,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """
+
+    o["q_events_dedup_stream"] = """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY 1
     """
 
     o["q_helmert"] = """

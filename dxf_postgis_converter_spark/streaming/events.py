@@ -65,14 +65,21 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
-                      query_name: str = "events_agg") -> list:
+                      query_name: str = "events_agg",
+                      output_mode: str | None = None) -> list:
     """Drain everything currently available through a memory sink and
     return the rows — the deterministic harness used by the parity tests
     (and the shape of a backfill run in production: availableNow +
-    durable checkpoint = resumable incremental batch)."""
+    durable checkpoint = resumable incremental batch).
+
+    output_mode defaults to "complete" for streaming aggregations;
+    non-aggregating stateful streams (dropDuplicatesWithinWatermark)
+    must pass "append" — they emit rows once, and the memory table
+    accumulates them across micro-batches."""
     q = (
         stream_df.writeStream.format("memory").queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode
+                    or ("complete" if stream_df.isStreaming else "append"))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
