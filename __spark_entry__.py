@@ -980,6 +980,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
     q["q_clean_funnel"] = q_clean_funnel
 
+    def q_pii_redaction(spark, sf_dir):  # training-data PII scrub pass
+        """redact_pii/has_pii under the oracle: every 7th document gets a
+        deterministic email + IPv4 appended (the corpus itself is clean),
+        then the scrub must flag exactly those docs and the per-source
+        length delta of the redaction must match DuckDB running the SAME
+        patterns (PII_PATTERNS is the single source of truth — the
+        oracle SQL is built from it, so the two engines can't drift)."""
+        from dxf_postgis_converter_spark.functions.text import has_pii, redact_pii
+        d = load_table(spark, sf_dir, "documents")
+        seeded = d.select(
+            "doc_id", "source",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com from 10.0.0.1")))
+            .otherwise(F.col("text")).alias("text"))
+        return seeded.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(has_pii(F.col("text")).cast("int")).alias("n_docs_pii"),
+            F.sum(F.length("text")
+                  - F.length(redact_pii(F.col("text")))).alias("chars_delta"))
+    q["q_pii_redaction"] = q_pii_redaction
+
     def q_audio_stats(spark, sf_dir):  # multimodal: pcm16 stats over binary payloads
         from dxf_postgis_converter_spark.functions.multimodal import audio_stats
         return audio_stats(synthetic_assets(spark, 90))
@@ -2173,6 +2196,27 @@ def oracle_sql() -> dict[str, str]:
 
     # cleaning funnel: exact-dedup survivors (min doc per fingerprint)
     # that clear the quality and language gates, rolled up per source
+    from dxf_postgis_converter_spark.functions.text import PII_PATTERNS as _PII
+    _pii_any = "|".join(f"({p})" for _, p, _ in _PII)
+    _pii_redact = "text"
+    for _, _pat, _repl in _PII:
+        _pii_redact = f"regexp_replace({_pii_redact}, '{_pat}', '{_repl}', 'g')"
+    o["q_pii_redaction"] = f"""
+        WITH seeded AS (
+          SELECT source,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com from 10.0.0.1'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN regexp_matches(text, '{_pii_any}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+               CAST(SUM(LENGTH(text) - LENGTH({_pii_redact})) AS BIGINT)
+                   AS chars_delta
+        FROM seeded GROUP BY 1
+    """
+
     o["q_clean_funnel"] = f"""
         WITH kept AS (
           SELECT doc_id, source, text FROM (

@@ -85,6 +85,31 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# PII scrub (training-data cleaning): patterns restricted to syntax that
+# behaves identically in Java regex (Spark) and RE2 (DuckDB) so every
+# redaction is SQL-oracle-checkable — no lookarounds, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email / international-phone / IPv4 literals with typed
+    placeholder tokens — pure chained regexp_replace, JVM-side, global
+    per pattern. The canonical pre-training scrub pass."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def has_pii(text: Column) -> Column:
+    """True when any PII pattern matches (rlike disjunction)."""
+    return text.rlike("|".join(p for _, p, _ in PII_PATTERNS))
+
+
 def dxf_unicode_unescape(text: Column) -> Column:
     """DXF ``\\U+XXXX`` escape → the Unicode character (F5; legacy plugin
     fnc4ADXF2Shape.py:60-74 decodes the same escapes before shapefile

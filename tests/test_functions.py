@@ -137,3 +137,25 @@ def test_winnowing_fingerprints(spark):
               for r in shared_fingerprint_pairs(d, min_shared=1).collect()}
     assert shared.get((1, 2), 0) > shared.get((1, 3), 0)
     assert shared[(1, 2)] >= 3
+
+
+def test_pii_redaction(spark):
+    from dxf_postgis_converter_spark.functions.text import has_pii, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org please"),
+        (2, "call +1 555 12345678 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "clean text, version 1.2 unharmed, a@b insufficient"),
+        (5, "two hits: a@b.co and 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: (r.red, r.flag) for r in df.select(
+        "id", redact_pii(F.col("text")).alias("red"),
+        has_pii(F.col("text")).alias("flag")).collect()}
+    assert got[1] == ("mail me at <EMAIL> please", True)
+    assert got[2] == ("call <PHONE> now", True)
+    assert got[3] == ("server at <IP> responded", True)
+    # version numbers and bare a@b must NOT trip the patterns
+    assert got[4] == ("clean text, version 1.2 unharmed, a@b insufficient", False)
+    assert got[5] == ("two hits: <EMAIL> and <IP>", True)
