@@ -1096,6 +1096,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
     q["q_fingerprints"] = q_fingerprints
 
+    def q_repetition(spark, sf_dir):  # MassiveText duplicate-word rule
+        from dxf_postgis_converter_spark.functions.text import dup_word_fraction
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.round(dup_word_fraction(F.col("text")), 6).alias("dup_word_frac"))
+    q["q_repetition"] = q_repetition
+
     def q_word_tokens(spark, sf_dir):  # BPE-ish tokenization (letters/digits runs + symbols)
         from dxf_postgis_converter_spark.functions.text import word_token_count
         d = load_table(spark, sf_dir, "documents")
@@ -2196,6 +2204,15 @@ def oracle_sql() -> dict[str, str]:
 
     # cleaning funnel: exact-dedup survivors (min doc per fingerprint)
     # that clear the quality and language gates, rolled up per source
+    o["q_repetition"] = r"""
+        SELECT doc_id, ROUND(
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) <= 0 THEN 0.0
+               ELSE 1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    * 1.0 / len(string_split_regex(trim(text), '\s+')) END,
+          6) AS dup_word_frac
+        FROM documents
+    """
+
     from dxf_postgis_converter_spark.functions.text import PII_PATTERNS as _PII
     _pii_any = "|".join(f"({p})" for _, p, _ in _PII)
     _pii_redact = "text"

@@ -95,6 +95,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def dup_word_fraction(text: Column) -> Column:
+    """Repetition signal (the MassiveText/Gopher "fraction of duplicate
+    words" quality rule): 1 - distinct_words / total_words. Pure array
+    algebra — split, array_distinct, size — so the per-doc value is
+    bit-reproducible against a SQL oracle (list_distinct in DuckDB)."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(words)) * F.lit(1.0) / n)
+
+
 def redact_pii(text: Column) -> Column:
     """Replace email / international-phone / IPv4 literals with typed
     placeholder tokens — pure chained regexp_replace, JVM-side, global

@@ -159,3 +159,16 @@ def test_pii_redaction(spark):
     # version numbers and bare a@b must NOT trip the patterns
     assert got[4] == ("clean text, version 1.2 unharmed, a@b insufficient", False)
     assert got[5] == ("two hits: <EMAIL> and <IP>", True)
+
+
+def test_dup_word_fraction(spark):
+    from dxf_postgis_converter_spark.functions.text import dup_word_fraction
+
+    rows = [(1, "a a a a"), (2, "all words here differ"), (3, "x y x y"), (4, "  ")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r.f for r in df.select(
+        "id", F.round(dup_word_fraction(F.col("text")), 6).alias("f")).collect()}
+    assert got[1] == 0.75        # 1 distinct of 4
+    assert got[2] == 0.0
+    assert got[3] == 0.5
+    assert got[4] == 0.0         # blank → no repetition signal
