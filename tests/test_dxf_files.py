@@ -24,13 +24,14 @@ def test_binary_scan_globs_dxf_only(spark, dxf_dir):
     assert rows[0].length > 0 and bytes(rows[0].content).startswith(b"0\n")
 
 
-@pytest.mark.skipif(HAVE_EZDXF, reason="stub branch only without ezdxf")
-def test_parse_raises_documented_stub(spark, dxf_dir):
+@pytest.mark.skipif(HAVE_EZDXF, reason="fallback branch only without ezdxf")
+def test_parse_fallback_handles_empty_drawing(spark, dxf_dir):
+    """Without ezdxf the pure-Python codec takes over: an empty ENTITIES
+    section parses to a document with zero spans (r4 this raised the
+    documented NotImplementedError; the seam is now fully functional)."""
     docs = dxf_files_to_documents(scan_dxf_files(spark, dxf_dir))
-    from py4j.protocol import Py4JJavaError
-    with pytest.raises(Exception) as ei:
-        docs.collect()
-    assert "ezdxf" in str(ei.value)
+    rows = docs.collect()
+    assert len(rows) == 1 and rows[0].doc_id == "a" and rows[0].spans == []
 
 
 def test_world_file_parse():
