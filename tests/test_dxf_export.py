@@ -1,0 +1,134 @@
+"""FILE-mode DXF export (sources/dxf_export.py ≙
+dxf_writer.reconstruct_from_entities, dxf_writer.py:53-192).
+
+Contract under test: export → re-ingest is media_ref-byte-exact for
+every supported type except SPLINE (whose stored geometry is already
+the read-time-flattened polyline; the reference writer restores no
+spline geometry at all), layer styles and the recursive block closure
+survive, and corpus-generated payloads (no dxf_attribs record, synthetic
+extra_data) round-trip at geometry value level."""
+
+import json
+
+from dxf_postgis_converter_spark.corpus import build_document
+from dxf_postgis_converter_spark.sources.dxf_export import (
+    document_to_dxf,
+    documents_to_dxf,
+    payload_to_snapshot,
+)
+from dxf_postgis_converter_spark.sources.dxf_files import (
+    spans_from_entity_snapshots,
+)
+from dxf_postgis_converter_spark.sources.dxf_parser import parse_dxf
+from tests.test_dxf_parser import ALL_TYPES, BLOCK_DEFS, STYLES
+
+
+def _reingest(content: bytes):
+    styles, snaps, blocks = parse_dxf(content.decode("utf-8"))
+    return spans_from_entity_snapshots(snaps, styles, blocks), styles, blocks
+
+
+def test_export_reingest_byte_exact_except_spline():
+    spans1 = spans_from_entity_snapshots(ALL_TYPES, STYLES, BLOCK_DEFS)
+    content, n, skipped = document_to_dxf(spans1)
+    assert (n, skipped) == (len(ALL_TYPES), 0)
+    spans2, styles, blocks = _reingest(content)
+    assert styles == STYLES  # layer table restored from ByLayer snapshots
+    assert set(blocks) == set(BLOCK_DEFS)  # recursive closure re-rooted
+    assert len(spans2) == len(spans1)
+    for s1, s2 in zip(spans1, spans2):
+        p1 = json.loads(s1["media_ref"])
+        if p1["entity_type"] == "SPLINE":
+            g2 = json.loads(s2["media_ref"])["geometries"]
+            # shape-preserving: same keys, clamped endpoints exact
+            assert sorted(g2) == sorted(p1["geometries"])
+            assert g2["points"][0] == p1["geometries"]["points"][0]
+            assert g2["points"][-1] == p1["geometries"]["points"][-1]
+        else:
+            assert s1["media_ref"] == s2["media_ref"], p1["entity_type"]
+
+
+def _subsumed(a, b, path=""):
+    """Every value in a appears identically in b; b may carry EXTRA keys
+    (re-extraction fills type defaults the synthetic corpus payloads
+    omit, e.g. TEXT halign/style)."""
+    if isinstance(a, dict):
+        assert isinstance(b, dict), path
+        for k, v in a.items():
+            _subsumed(v, b.get(k), f"{path}.{k}")
+    elif isinstance(a, list):
+        assert isinstance(b, list) and len(b) == len(a), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _subsumed(x, y, f"{path}[{i}]")
+    else:
+        assert a == b, f"{path}: {a!r} != {b!r}"
+
+
+def test_corpus_payloads_roundtrip_value_level():
+    """Corpus payloads have NO dxf_attribs record and synthetic
+    extra_data, so the oracle is geometry VALUE subsumption for
+    extractor-backed types (re-extraction may add type-default keys).
+    Fully lossy types: SPLINE (flattening), MULTILEADER/WIPEOUT (no
+    extraction rule — the reference writer has no geometry branch for
+    them either), HATCH (the reference writer re-emits boundary paths
+    as 2D polylines, dxf_writer.py:504 — boundaries don't survive
+    verbatim; pattern/solid do)."""
+    lossy = {"SPLINE", "MULTILEADER", "WIPEOUT", "HATCH"}
+    checked = {}
+    for idx in range(12):
+        _did, spans = build_document(idx)
+        media = [s for s in spans if s["kind"] == "media"]
+        content, n, skipped = document_to_dxf(spans)
+        assert (n, skipped) == (len(media), 0)
+        spans2, _styles, _blocks = _reingest(content)
+        assert len(spans2) == len(media)
+        for s1, s2 in zip(media, spans2):
+            p1, p2 = json.loads(s1["media_ref"]), json.loads(s2["media_ref"])
+            et = p1["entity_type"]
+            assert p2["entity_type"] == et
+            assert p2["layer"] == p1["layer"]
+            assert p2["handle"] == p1["handle"]
+            if et == "HATCH":
+                g1, g2 = p1["geometries"], p2["geometries"]
+                assert g2["pattern_name"] == g1["pattern_name"]
+                assert g2["solid_fill"] == g1["solid_fill"]
+                assert len(g2["hatch_paths"]) == len(g1["hatch_paths"])
+                continue
+            if et in lossy:
+                continue
+            _subsumed(p1["geometries"], p2["geometries"], et)
+            checked[et] = checked.get(et, 0) + 1
+    # the corpus draw actually exercised a broad slice of the types
+    assert len(checked) >= 15, sorted(checked)
+
+
+def test_unresolvable_payload_skipped_and_counted():
+    spans = [{"kind": "media", "text": "",
+              "media_ref": json.dumps({"attributes": {}, "entity_type": "",
+                                       "extra_data": {}, "geometries": {},
+                                       "handle": "x", "layer": "0",
+                                       "name": "?"}),
+              "offset": 0}]
+    content, n, skipped = document_to_dxf(spans)
+    assert (n, skipped) == (0, 1)
+    assert payload_to_snapshot({"extra_data": {}}) is None
+
+
+def test_documents_to_dxf_spark_stage(spark):
+    """Distributed export: documents → one drawing per doc in a single
+    Python stage; re-ingesting an exported doc reproduces its media
+    span count."""
+    rows = [build_document(i) for i in range(6)]
+    docs = spark.createDataFrame(
+        [(d, [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in sp]) for d, sp in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = {r.doc_id: r for r in documents_to_dxf(docs).collect()}
+    assert len(out) == 6
+    for did, sp in rows:
+        media = [s for s in sp if s["kind"] == "media"]
+        r = out[did]
+        assert (r.n_entities, r.n_skipped) == (len(media), 0)
+        spans2, _s, _b = _reingest(bytes(r.dxf_content))
+        assert len(spans2) == len(media)
