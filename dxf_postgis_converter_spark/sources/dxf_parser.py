@@ -24,6 +24,8 @@ contribute no geometry, mirroring the reference's skip behavior
 
 from __future__ import annotations
 
+import math
+
 from .extractors import LAYER_STYLE_KEYS
 
 # ---------------------------------------------------------------------------
@@ -37,14 +39,15 @@ _FLOAT_RANGES = ((10, 59), (110, 149), (210, 239), (460, 469), (1010, 1059))
 
 
 def _coerce(code: int, raw: str):
-    s = raw.strip()
     for lo, hi in _INT_RANGES:
         if lo <= code <= hi:
-            return int(s)
+            return int(raw.strip())
     for lo, hi in _FLOAT_RANGES:
         if lo <= code <= hi:
-            return float(s)
-    return s
+            return float(raw.strip())
+    # string values keep leading/trailing spaces (a TEXT entity whose
+    # content is " " is legal); only the \r of a CRLF file is dropped
+    return raw.rstrip("\r")
 
 
 def iter_tags(text: str):
@@ -587,11 +590,13 @@ def _write_entity(out, etype, snapshot, handle, layer):
             p = list(p) + [0.0] * 5
             _tag(out, 10, float(p[0]))
             _tag(out, 20, float(p[1]))
-            if p[2]:
+            # write when the bit pattern isn't +0.0 (`if p[2]:` would
+            # drop -0.0, which then re-parses as +0.0 — sign lost)
+            if p[2] != 0.0 or math.copysign(1.0, p[2]) < 0.0:
                 _tag(out, 40, float(p[2]))
-            if p[3]:
+            if p[3] != 0.0 or math.copysign(1.0, p[3]) < 0.0:
                 _tag(out, 41, float(p[3]))
-            if p[4]:
+            if p[4] != 0.0 or math.copysign(1.0, p[4]) < 0.0:
                 _tag(out, 42, float(p[4]))
     elif etype == "POLYLINE":
         _tag(out, 70, 1 if s.get("is_closed") else 0)

@@ -66,8 +66,25 @@ def main() -> None:
     n_tiles = spark.read.parquet(os.path.join(args.out, "tile_counts")).count()
     print(json.dumps({"stage": "tiles", "tiles": n_tiles}))
 
+    # FILE-mode export: every document back out as a real .dxf drawing
+    # (sources/dxf_export.py — one shuffle-free Python stage)
+    from dxf_postgis_converter_spark.sources.dxf_export import documents_to_dxf
+
+    documents_to_dxf(docs).write.mode("overwrite") \
+        .parquet(os.path.join(args.out, "dxf_files"))
+    ex = spark.read.parquet(os.path.join(args.out, "dxf_files")).agg(
+        F.count("*").alias("files"),
+        F.sum("n_entities").alias("entities"),
+        F.sum("n_skipped").alias("skipped"),
+        F.sum(F.length("dxf_content")).alias("bytes")).first()
+    print(json.dumps({"stage": "export", "files": ex["files"],
+                      "entities": int(ex["entities"] or 0),
+                      "skipped": int(ex["skipped"] or 0),
+                      "bytes": int(ex["bytes"] or 0)}))
+
     print(json.dumps({"status": "ok", "entities": s1["rows"],
-                      "zones_with_hits": n_zones, "tiles": n_tiles}))
+                      "zones_with_hits": n_zones, "tiles": n_tiles,
+                      "exported_files": ex["files"]}))
     spark.stop()
 
 

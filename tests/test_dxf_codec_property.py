@@ -1,0 +1,98 @@
+"""Property-based round-trip for the pure-Python DXF codec
+(sources/dxf_parser.py): for RANDOM snapshots of every geometric entity
+type, parse(write(x)) must reproduce the extracted geometry and base
+attributes exactly — hypothesis drives coordinates (including
+negative/tiny/huge floats whose repr formatting must survive the tag
+text), vertex counts, closed flags, and optional-attribute presence."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from dxf_postgis_converter_spark.sources.dxf_files import (
+    spans_from_entity_snapshots,
+)
+from dxf_postgis_converter_spark.sources.dxf_parser import (
+    _COLLECTION_KEYS,
+    parse_dxf,
+    write_dxf,
+)
+
+# finite floats only: DXF carries decimal text, so NaN/inf are out of
+# domain (ezdxf rejects them too); repr() round-trips every finite float
+fin = st.floats(allow_nan=False, allow_infinity=False, width=64)
+vec = st.tuples(fin, fin, fin).map(list)
+
+
+def _snap(etype, geom, extra_attrs=None):
+    snapshot = dict(geom, layer="L1")
+    if extra_attrs:
+        snapshot.update(extra_attrs)
+    dxfattribs = {k: v for k, v in snapshot.items()
+                  if k not in _COLLECTION_KEYS}
+    return (etype, dxfattribs, snapshot, "AB", "L1")
+
+
+geometry = st.one_of(
+    st.builds(lambda p: _snap("POINT", {"location": p}), vec),
+    st.builds(lambda a, b: _snap("LINE", {"start": a, "end": b}), vec, vec),
+    st.builds(lambda c, r: _snap("CIRCLE", {"center": c, "radius": r}),
+              vec, fin),
+    st.builds(lambda c, r, s, e: _snap(
+        "ARC", {"center": c, "radius": r, "start_angle": s, "end_angle": e}),
+        vec, fin, fin, fin),
+    st.builds(lambda c, m, r, s, e: _snap(
+        "ELLIPSE", {"center": c, "major_axis": m, "extrusion": [0.0, 0.0, 1.0],
+                    "ratio": r, "start_param": s, "end_param": e}),
+        vec, vec, fin, fin, fin),
+    st.builds(lambda pts, closed: _snap(
+        "POLYLINE", {"points": pts, "is_closed": closed}),
+        st.lists(vec, min_size=2, max_size=8), st.booleans()),
+    st.builds(lambda pts, closed: _snap(
+        "LWPOLYLINE",
+        {"points": [list(p) for p in pts], "is_closed": closed}),
+        st.lists(st.tuples(fin, fin, fin, fin, fin), min_size=2, max_size=8),
+        st.booleans()),
+    st.builds(lambda i, t, h: _snap(
+        "TEXT", {"insert": i, "text": t, "height": h}),
+        vec, st.text(alphabet=st.characters(min_codepoint=32,
+                                            max_codepoint=126),
+                     max_size=40), fin),
+    st.builds(lambda a, b, c: _snap(
+        "3DFACE", {"vtx0": a, "vtx1": b, "vtx2": c, "vtx3": c}),
+        vec, vec, vec),
+    st.builds(lambda s, u: _snap("RAY", {"start": s, "unit_vector": u}),
+              vec, vec),
+    st.builds(lambda vs, fs: _snap(
+        "MESH", {"vertices": vs,
+                 "faces": [[i % max(1, len(vs)) for i in f] for f in fs]}),
+        st.lists(vec, min_size=1, max_size=6),
+        st.lists(st.lists(st.integers(0, 5), min_size=3, max_size=4),
+                 max_size=4)),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(geometry, min_size=1, max_size=6))
+def test_random_snapshots_roundtrip(snaps):
+    spans1 = spans_from_entity_snapshots(snaps, {})
+    styles, parsed, blocks = parse_dxf(write_dxf(snaps))
+    assert styles == {} and blocks == {}
+    spans2 = spans_from_entity_snapshots(parsed, {})
+    assert [s["media_ref"] for s in spans2] == [s["media_ref"] for s in spans1]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 256), st.text(alphabet="ABCDEF0123456789",
+                                    min_size=1, max_size=6))
+def test_base_attribs_roundtrip(color, handle):
+    snaps = [("LINE", {"layer": "X", "color": color},
+              {"layer": "X", "color": color,
+               "start": [0.0, 0.0, 0.0], "end": [1.0, 1.0, 0.0]},
+              handle, "X")]
+    _s, parsed, _b = parse_dxf(write_dxf(snaps))
+    etype, dxfattribs, _snapshot, h, layer = parsed[0]
+    assert (etype, h, layer) == ("LINE", handle, "X")
+    assert dxfattribs["color"] == color
+    p = json.loads(spans_from_entity_snapshots(parsed, {})[0]["media_ref"])
+    assert p["attributes"]["color"] == color
