@@ -90,6 +90,34 @@ def test_tile_pyramid_partial_aggregation(entities_df):
     # never raw entity rows
     assert "partial_count" in plan
     assert "Exchange" in plan
+    # the whole pyramid is ONE pass: exactly two exchanges regardless of
+    # depth (z_max per-tile partials + the tiny ancestor-chain rollup),
+    # never a union of per-level branches re-scanning the base table
+    assert plan.count("+- Exchange (") == 2, plan[:3000]
+    assert "Union" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_tile_pyramid_matches_per_level_rollup(entities_df):
+    """The one-pass ancestor-chain formulation is algebraically identical
+    to rolling parents up level by level — pin that equivalence on the
+    corpus (both orderings of every level's counts must agree)."""
+    from dxf_postgis_converter_spark.index.grid import parent_col
+    from dxf_postgis_converter_spark.operators.tiles import (
+        assign_tiles, tile_pyramid_counts,
+    )
+
+    ents = entities_df.filter("xmin is not null")
+    got = {r["tile_id"]: r["n"]
+           for r in tile_pyramid_counts(ents, z_max=7, z_min=4).collect()}
+    level = (assign_tiles(ents, 7, mode="center")
+             .groupBy("tile_id").agg(F.count("*").alias("n")))
+    want = {r["tile_id"]: r["n"] for r in level.collect()}
+    for _ in range(3):
+        level = (level.select(parent_col(F.col("tile_id")).alias("tile_id"), "n")
+                 .groupBy("tile_id").agg(F.sum("n").alias("n")))
+        want.update({r["tile_id"]: r["n"] for r in level.collect()})
+    assert got == want
 
 
 def test_no_row_python_udfs_anywhere(entities_df, zones_df, docs_df):
