@@ -1,0 +1,365 @@
+"""Snapshot-versioned parquet table — the transactional layer J6-J8 run on.
+
+The reference's write path is transactional by construction: every upsert
+is one ``INSERT .. ON CONFLICT DO UPDATE`` against PostGIS
+(postgis_entity_repository.py:215-224) and layer-table moves are a
+catalog ``rename_table`` inside the import session
+(import_use_case.py:392-417).  On a data lake the equivalent is an
+Iceberg/Delta table: immutable data files + a versioned manifest +
+atomic pointer swap.  Neither library's jars exist in this container, so
+this module implements the table format from scratch with the same
+contract — and the same *scale* mechanics, which is the part that
+matters at 100 TB:
+
+- **Immutable data files, manifest-per-snapshot.** A snapshot is a JSON
+  manifest listing parquet files (path, rows, bytes, per-file min/max
+  key stats pulled from the parquet footers — no extra Spark job).
+  Readers plan from ONE small JSON; writers never mutate existing files.
+- **Atomic optimistic commit.** A writer stages data files, then claims
+  version N+1 by hard-linking its fully-written manifest to
+  ``v{N+1}.json`` (``os.link`` is atomic, fails on EEXIST).  A lost race
+  raises :class:`CommitConflict` — append-only commits auto-retry
+  against the new head, merges re-plan.  The truth is ``max(v*.json)``;
+  a crashed writer leaves only unreferenced staging files (cleaned by
+  :meth:`expire_snapshots`), never a torn table.
+- **Copy-on-write MERGE with file-level pruning.** ``merge(source,
+  mode)`` intersects the source's doc_id set with each file's
+  [min, max] doc_id stats and rewrites ONLY intersecting files; every
+  other file is carried into the new manifest *by reference*.  An
+  import touching 3 documents of a 10^12-row table rewrites 3 documents'
+  worth of files, exactly like Iceberg's merge-on-read-free COW path.
+- **Time travel / rollback / expiry.**  ``read(version=)`` plans any
+  historical snapshot; ``rollback(v)`` commits a NEW snapshot that
+  points at v's file set (history is never rewritten);
+  ``expire_snapshots(keep_last=)`` deletes manifests and
+  no-longer-referenced data files.
+- **Catalog RENAME.** :class:`Catalog` maps table names to paths in one
+  atomically-replaced JSON, mirroring the reference's layer-table
+  rename-on-reconcile.
+
+Swapping to real Iceberg is mechanical: ``commit`` → ``MERGE INTO`` /
+``overwritePartitions``, ``read(version)`` → ``VERSION AS OF``,
+``Catalog.rename`` → ``ALTER TABLE RENAME``; the operators above this
+layer (operators/merge_modes.py) are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.merge_modes import ImportMode, apply_mode
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+_STAT_COL = "doc_id"  # merge pruning key: imports are scoped per document
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the target version first. Append commits
+    retry transparently; merge callers must re-plan against the new head
+    (their join result is stale)."""
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file stats from the parquet footer (rows, bytes, min/max of
+    the pruning column) — the manifest is built driver-side from
+    metadata only, never by re-scanning data."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    lo = hi = None
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    if _STAT_COL in idx:
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[_STAT_COL]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    return {"rows": meta.num_rows, "bytes": os.path.getsize(path),
+            "stat_min": lo, "stat_max": hi}
+
+
+class SnapshotTable:
+    """One versioned table rooted at ``path`` (``data/`` + ``_snapshots/``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._snap_dir = os.path.join(path, "_snapshots")
+        self._data_dir = os.path.join(path, "data")
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for f in os.listdir(self._snap_dir):
+            m = _MANIFEST_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest first (version, snapshot_id, operation,
+        parent, committed_at, n_files, n_rows)."""
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            out.append({k: m[k] for k in
+                        ("version", "snapshot_id", "operation", "parent",
+                         "committed_at")} |
+                       {"n_files": len(m["files"]),
+                        "n_rows": sum(f["rows"] for f in m["files"])})
+        return out
+
+    # -- read -----------------------------------------------------------------
+
+    def read(self, version: int | None = None,
+             as_of: float | None = None) -> DataFrame:
+        """DataFrame over a snapshot's file set (default: current head).
+        ``as_of`` picks the last snapshot committed at or before a unix
+        timestamp (Iceberg ``TIMESTAMP AS OF``)."""
+        if version is None and as_of is not None:
+            eligible = [v for v in self._versions()
+                        if self._manifest(v)["committed_at"] <= as_of]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of}")
+            version = eligible[-1]
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.path} has no snapshots")
+        m = self._manifest(version)
+        schema = StructType.fromJson(m["schema"])
+        files = [os.path.join(self.path, f["path"]) for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # -- write ----------------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write df as immutable data files under data/<uuid>/, return
+        manifest entries. Files are unreferenced until a manifest commits."""
+        sub = uuid.uuid4().hex
+        out_dir = os.path.join(self._data_dir, sub)
+        df.write.mode("errorifexists").parquet(out_dir)
+        entries = []
+        for f in sorted(os.listdir(out_dir)):
+            if f.endswith(".parquet"):
+                full = os.path.join(out_dir, f)
+                entries.append(
+                    {"path": os.path.relpath(full, self.path)} | _file_stats(full))
+        return entries
+
+    def _commit(self, files: list[dict], operation: str,
+                schema_json: dict, expected_parent: int | None) -> int:
+        """Claim the next version atomically. ``expected_parent`` pins the
+        snapshot this commit was planned against — a mismatch at claim
+        time means a concurrent writer won and the plan is stale."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        head = self.current_version()
+        if head != expected_parent:
+            raise CommitConflict(
+                f"planned against v{expected_parent}, head is v{head}")
+        version = 0 if head is None else head + 1
+        manifest = {
+            "version": version,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent": head,
+            "operation": operation,
+            "committed_at": time.time(),
+            "schema": schema_json,
+            "files": files,
+        }
+        tmp = os.path.join(self._snap_dir, f".tmp-{manifest['snapshot_id']}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # atomic claim-with-content: link fails iff someone else
+            # already committed this version (fsync'd rename-free swap)
+            os.link(tmp, os.path.join(self._snap_dir, f"v{version}.json"))
+        except FileExistsError as e:
+            raise CommitConflict(f"lost race for v{version}") from e
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def _schema_json(self, df: DataFrame) -> dict:
+        cur = self.current_version()
+        sj = json.loads(df.schema.json())
+        if cur is not None:
+            existing = self._manifest(cur)["schema"]
+            if {f["name"] for f in existing["fields"]} != {f["name"] for f in sj["fields"]}:
+                raise ValueError(
+                    "schema mismatch: table has "
+                    f"{[f['name'] for f in existing['fields']]}, "
+                    f"write has {[f['name'] for f in sj['fields']]}")
+            return existing  # keep canonical field order
+        return sj
+
+    def append(self, df: DataFrame, _retries: int = 3) -> int:
+        """Append-only commit (retries transparently on conflict — an
+        append planned against any head is valid against any newer one)."""
+        schema_json = self._schema_json(df)
+        new_files = self._stage_files(df.select(
+            *[f["name"] for f in schema_json["fields"]]))
+        for attempt in range(_retries + 1):
+            head = self.current_version()
+            carried = [] if head is None else self._manifest(head)["files"]
+            try:
+                return self._commit(carried + new_files, "append",
+                                    schema_json, head)
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table (delete-all + insert, S9)."""
+        head = self.current_version()
+        schema_json = self._schema_json(df)
+        files = self._stage_files(df.select(
+            *[f["name"] for f in schema_json["fields"]]))
+        return self._commit(files, "overwrite", schema_json, head)
+
+    def merge(self, source: DataFrame, mode: ImportMode) -> int:
+        """Copy-on-write MERGE: apply an import-mode (J5-J7 set algebra)
+        rewriting ONLY the data files whose doc_id stats intersect the
+        source's documents; all other files carry over by reference."""
+        head = self.current_version()
+        if head is None:
+            return self.append(source)
+        manifest = self._manifest(head)
+        schema_json = self._schema_json(source)
+        cols = [f["name"] for f in schema_json["fields"]]
+
+        src_docs = sorted(
+            r[0] for r in source.select(_STAT_COL).distinct().collect())
+        touched, carried = [], []
+        for f in manifest["files"]:
+            lo, hi = f["stat_min"], f["stat_max"]
+            if lo is None or any(lo <= d <= hi for d in src_docs):
+                touched.append(f)
+            else:
+                carried.append(f)
+
+        if touched:
+            tdf = self.spark.read.schema(
+                StructType.fromJson(schema_json)).parquet(
+                *[os.path.join(self.path, f["path"]) for f in touched])
+            rewritten = apply_mode(tdf, source.select(*cols), mode)
+        else:
+            rewritten = source.select(*cols)
+        new_files = self._stage_files(rewritten.select(*cols))
+        return self._commit(carried + new_files, f"merge:{ImportMode(mode).value}",
+                            schema_json, head)
+
+    def rollback(self, version: int) -> int:
+        """Commit a NEW snapshot whose file set is version's (history is
+        append-only; Iceberg ``rollback_to_snapshot`` semantics)."""
+        m = self._manifest(version)
+        return self._commit(list(m["files"]), f"rollback:v{version}",
+                            m["schema"], self.current_version())
+
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` manifests and delete data
+        files no surviving snapshot references (plus orphaned staging
+        files from crashed writers)."""
+        vs = self._versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        live = set()
+        for v in keep:
+            live.update(f["path"] for f in self._manifest(v)["files"])
+        removed_files = 0
+        if os.path.isdir(self._data_dir):
+            for sub in os.listdir(self._data_dir):
+                d = os.path.join(self._data_dir, sub)
+                for f in os.listdir(d):
+                    rel = os.path.relpath(os.path.join(d, f), self.path)
+                    if f.endswith(".parquet") and rel not in live:
+                        os.unlink(os.path.join(d, f))
+                        removed_files += 1
+                if not any(x.endswith(".parquet") for x in os.listdir(d)):
+                    shutil.rmtree(d)
+        for v in drop:
+            os.unlink(os.path.join(self._snap_dir, f"v{v}.json"))
+        return {"expired_snapshots": len(drop), "removed_files": removed_files}
+
+
+class Catalog:
+    """Name → table-path mapping with atomic RENAME (the reference's
+    layer-table ``rename_table`` on reconcile, import_use_case.py:392-417).
+    One JSON file, replaced atomically — on a lakehouse this is the REST/
+    Hive catalog's job."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self._path = os.path.join(warehouse, "_catalog.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._path):
+            return {}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _save(self, tables: dict) -> None:
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self._path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tables, f)
+        os.replace(tmp, self._path)
+
+    def create(self, name: str) -> SnapshotTable:
+        tables = self._load()
+        if name in tables:
+            raise ValueError(f"table {name!r} exists")
+        tables[name] = os.path.join(self.warehouse, uuid.uuid4().hex)
+        self._save(tables)
+        return SnapshotTable(self.spark, tables[name])
+
+    def load(self, name: str) -> SnapshotTable:
+        tables = self._load()
+        if name not in tables:
+            raise KeyError(f"no table {name!r}")
+        return SnapshotTable(self.spark, tables[name])
+
+    def rename(self, old: str, new: str) -> None:
+        tables = self._load()
+        if old not in tables:
+            raise KeyError(f"no table {old!r}")
+        if new in tables:
+            raise ValueError(f"table {new!r} exists")
+        tables[new] = tables.pop(old)  # data never moves — pointer-only op
+        self._save(tables)
+
+    def tables(self) -> dict:
+        return dict(self._load())

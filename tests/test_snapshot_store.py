@@ -1,0 +1,138 @@
+"""Snapshot-versioned table: commit atomicity, time travel, COW merge
+file pruning, rollback, expiry, catalog rename."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dxf_postgis_converter_spark.operators.merge_modes import (
+    ImportMode, apply_mode,
+)
+from dxf_postgis_converter_spark.sources.snapshot_store import (
+    Catalog, CommitConflict, SnapshotTable,
+)
+
+
+def _ents(spark, doc_id, layer, names):
+    return spark.createDataFrame(
+        [Row(doc_id=doc_id, layer=layer, name=n, entity_type="LINE",
+             payload=f"{doc_id}/{layer}/{n}") for n in names])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def test_append_read_history(table, spark):
+    assert not table.exists()
+    v0 = table.append(_ents(spark, "docA", "L1", ["a", "b"]))
+    v1 = table.append(_ents(spark, "docB", "L1", ["c"]))
+    assert (v0, v1) == (0, 1)
+    assert table.read().count() == 3
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["n_rows"] for h in hist] == [2, 3]
+    assert hist[1]["parent"] == 0
+    assert all(h["operation"] == "append" for h in hist)
+
+
+def test_time_travel_and_as_of(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    t_mid = table.history()[-1]["committed_at"]
+    table.overwrite(_ents(spark, "docZ", "L9", ["z1", "z2"]))
+    # head sees only the overwrite; v0 still plans the original file set
+    assert {r["doc_id"] for r in table.read().collect()} == {"docZ"}
+    assert {r["doc_id"] for r in table.read(version=0).collect()} == {"docA"}
+    assert {r["doc_id"] for r in table.read(as_of=t_mid).collect()} == {"docA"}
+
+
+def test_merge_matches_set_algebra(table, spark):
+    """SnapshotTable.merge == apply_mode on the full table, for every
+    import mode (the COW file pruning must be invisible to semantics)."""
+    base = _ents(spark, "docA", "L1", ["a", "b"]).unionByName(
+        _ents(spark, "docB", "L1", ["b", "c"]))
+    src = _ents(spark, "docA", "L1", ["b", "x"]).withColumn(
+        "payload", F.concat(F.col("payload"), F.lit("!v2")))
+
+    for mode in ImportMode:
+        t = SnapshotTable(spark, table.path + "_" + mode.value)
+        t.append(base)
+        t.merge(src, mode)
+        got = {tuple(r) for r in t.read().select(
+            "doc_id", "layer", "name", "payload").collect()}
+        want = {tuple(r) for r in apply_mode(base, src, mode).select(
+            "doc_id", "layer", "name", "payload").collect()}
+        assert got == want, mode
+
+
+def test_merge_prunes_untouched_files(table, spark):
+    """A merge scoped to docA must carry docB's data files by REFERENCE —
+    identical path entries in the new manifest, no rewrite."""
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.append(_ents(spark, "docB", "L1", ["b"]))
+    before = {f["path"] for f in table._manifest(1)["files"]}
+    doc_b_files = {f["path"] for f in table._manifest(1)["files"]
+                   if f["stat_min"] == "docB"}
+    assert doc_b_files, "expected per-file docB stats"
+
+    table.merge(_ents(spark, "docA", "L1", ["a2"]), ImportMode.ADD_OBJECTS)
+    after = {f["path"] for f in table._manifest(2)["files"]}
+    assert doc_b_files <= after                      # carried by reference
+    assert (before - doc_b_files).isdisjoint(after)  # docA files rewritten
+    assert table.read().count() == 3
+
+
+def test_commit_conflict_and_append_retry(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    # simulate a concurrent winner for v1: overwrite planned against v0
+    # must lose once v1 exists
+    df = _ents(spark, "docC", "L1", ["c"])
+    head = table.current_version()
+    files = table._manifest(head)["files"] + table._stage_files(df)
+    schema_json = table._schema_json(df)
+    table._commit(files, "append", schema_json, head)  # the "other" writer
+    with pytest.raises(CommitConflict):
+        table._commit(files, "overwrite", schema_json, head)
+    # append() retries transparently against the new head
+    v = table.append(_ents(spark, "docD", "L1", ["d"]))
+    assert v == 2 and table.read().count() == 3
+
+
+def test_rollback_and_expire(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.overwrite(_ents(spark, "docB", "L1", ["b"]))
+    v = table.rollback(0)
+    assert v == 2
+    assert {r["doc_id"] for r in table.read().collect()} == {"docA"}
+    # expiry keeps the head (= rollback snapshot) readable and deletes
+    # the overwrite's now-unreferenced file
+    n_parquet = lambda: sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(table.path) for f in fs)
+    before = n_parquet()
+    rep = table.expire_snapshots(keep_last=1)
+    assert rep["expired_snapshots"] == 2
+    assert n_parquet() < before
+    assert {r["doc_id"] for r in table.read().collect()} == {"docA"}
+
+
+def test_schema_mismatch_rejected(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    bad = spark.createDataFrame([Row(doc_id="x", other=1)])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(bad)
+
+
+def test_catalog_rename_is_pointer_only(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create("layer_old")
+    t.append(_ents(spark, "docA", "L1", ["a"]))
+    data_path = t.path
+    cat.rename("layer_old", "layer_new")
+    assert cat.load("layer_new").path == data_path  # data never moved
+    assert cat.load("layer_new").read().count() == 1
+    with pytest.raises(KeyError):
+        cat.load("layer_old")
+    with pytest.raises(ValueError):
+        cat.rename("layer_new", "layer_new")
