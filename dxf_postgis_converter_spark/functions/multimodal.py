@@ -147,6 +147,124 @@ def decode_png(payload: bytes) -> np.ndarray:
     return O[1:, 1:].astype(np.uint8)
 
 
+# --------------------------------------------------------------------------
+# minimal AVI codec (stdlib struct only) — same role as the PNG codec
+# above, for VIDEO: every 3rd synthetic video asset carries a REAL
+# RIFF/AVI container (uncompressed 24-bit DIB frames, the 'DIB '/BI_RGB
+# shape every mainstream muxer can emit) so the video seam parses real
+# container structure — headers, stream format, frame chunks, index —
+# end-to-end. Compressed codecs (h264 …) remain the documented stub.
+# --------------------------------------------------------------------------
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def gradient_frames(w: int, h: int, n_frames: int, key: int) -> np.ndarray:
+    """Spec'd frame content of AVI-bearing synthetic assets: frame f is
+    gradient_pixels with key + 97*f (97 ⊥ 256 so consecutive frames
+    differ in every pixel). Closed formula → replica-derivable without
+    touching the container bytes."""
+    return np.stack([gradient_pixels(w, h, key + 97 * f) for f in range(n_frames)])
+
+
+def encode_avi(frames: np.ndarray, rate: int, scale: int) -> bytes:
+    """(N, H, W, 3) uint8 RGB → valid AVI bytes: one 'vids' stream of
+    uncompressed bottom-up BGR DIB frames ('00db' chunks) at rate/scale
+    frames per second, with avih/strh/strf headers and an idx1 index."""
+    import struct
+
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    frame_bytes = []
+    for f in range(n):
+        bgr = frames[f, ::-1, :, ::-1]  # bottom-up rows, BGR channels
+        if stride == w * 3:
+            frame_bytes.append(bgr.tobytes())
+        else:
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = bgr.reshape(h, w * 3)
+            frame_bytes.append(padded.tobytes())
+
+    def ck(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return ck(b"LIST", kind + body)
+
+    usec_per_frame = int(round(1_000_000 * scale / rate))
+    avih = struct.pack("<14I", usec_per_frame, stride * h * rate // max(scale, 1),
+                       0, 0x10, n, 0, 1, stride * h, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIIIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0,
+                       scale, rate, 0, n, stride * h, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", ck(b"avih", avih)
+               + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4  # offsets count from the 'movi' fourcc
+    for fb in frame_bytes:
+        movi_chunks.append(ck(b"00db", fb))
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        off += len(movi_chunks[-1])
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = ck(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Spec-level parser for the AVI shape above (and any uncompressed
+    24-bit BI_RGB 'vids' single-stream AVI): walks the RIFF tree, reads
+    avih/strh/strf, collects '00db'/'00dc' frame chunks, reverses the
+    bottom-up BGR layout. Returns ((N, H, W, 3) RGB uint8, rate, scale).
+    Raises ValueError on anything it can't prove it decoded exactly."""
+    import struct
+
+    if payload[:4] != _RIFF_MAGIC or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    rate = scale = w = h = None
+    total_frames = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, base: int, end: int) -> None:
+        nonlocal rate, scale, w, h, total_frames
+        off = base
+        while off + 8 <= end:
+            tag = buf[off:off + 4]
+            ln = struct.unpack("<I", buf[off + 4:off + 8])[0]
+            body0, body1 = off + 8, off + 8 + ln
+            if body1 > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(buf, body0 + 4, body1)
+            elif tag == b"avih":
+                total_frames = struct.unpack("<I", buf[body0 + 16:body0 + 20])[0]
+            elif tag == b"strh":
+                fcc, handler = buf[body0:body0 + 4], buf[body0 + 4:body0 + 8]
+                if fcc == b"vids":
+                    scale, rate = struct.unpack("<II", buf[body0 + 20:body0 + 28])
+            elif tag == b"strf" and w is None:
+                (_, bw, bh, _, bits, comp) = struct.unpack("<IiiHHI", buf[body0:body0 + 20])
+                if bits != 24 or comp != 0:
+                    raise ValueError(f"unsupported AVI pixel format bits={bits} comp={comp}")
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[body0:body1])
+            off = body1 + (ln & 1)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames_raw or rate is None:
+        raise ValueError("missing AVI stream headers or frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) != stride * h:
+            raise ValueError(f"frame {i}: {len(fb)} bytes != {stride * h}")
+        rows = np.frombuffer(fb, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        out[i] = rows.reshape(h, w, 3)[::-1, :, ::-1]  # un-flip, BGR→RGB
+    if total_frames is not None and total_frames != len(frames_raw):
+        raise ValueError(f"avih says {total_frames} frames, found {len(frames_raw)}")
+    return out, rate, scale
+
+
 def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table (pure function of (seed, id)).
 
@@ -171,6 +289,16 @@ def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 if kind == "image" and int(i) % 9 == 0:
                     payload = encode_png(gradient_pixels(
                         meta["width"], meta["height"], int(i)))
+                elif kind == "video" and int(i) % 9 == 5:
+                    # real RIFF/AVI payload: frame plan is a pure function
+                    # of (i, meta) so the oracle replica derives it from
+                    # the gradient formula without parsing the container
+                    nf = 4 + int(i) % 5 * 2
+                    vw, vh = min(meta["width"], 32), min(meta["height"], 32)
+                    payload = encode_avi(
+                        gradient_frames(vw, vh, nf, key=int(i) * 1009),
+                        rate=nf * 1000, scale=meta["duration_ms"])
+                    meta["codec"] = "avi-rawrgb"
                 else:
                     meta["codec"] = {"image": "raw-stub", "audio": "pcm16",
                                      "video": "h264-stub"}[kind]
@@ -330,3 +458,61 @@ def audio_stats(assets: DataFrame) -> DataFrame:
 
     return assets.filter(F.col("kind") == "audio") \
         .select("asset_id", "payload").mapInPandas(gen, schema=schema)
+
+
+def _decode_video(payload: bytes, width: int, height: int,
+                  duration_ms: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 frames. RIFF/AVI payloads go through the
+    spec-level container parser (real path — raw DIB frames are
+    lossless); compressed-codec stubs get the deterministic fake: one
+    blake2b-seeded pixel stream per (payload, frame) at the catalog
+    shape, min(8, ceil(duration/1s)) frames — stable across runs and
+    partitions."""
+    if payload[:4] == _RIFF_MAGIC:
+        return decode_avi(payload)[0]
+    n_frames = min(8, (int(duration_ms) - 1) // 1000 + 1)
+    out = np.empty((n_frames, height, width, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        seed = int.from_bytes(hashlib.blake2b(
+            payload + f.to_bytes(4, "big"), digest_size=8).digest(), "big")
+        out[f] = np.random.default_rng(seed).integers(
+            0, 256, size=(height, width, 3), dtype=np.uint8)
+    return out
+
+
+def video_frame_stats(assets: DataFrame) -> DataFrame:
+    """Video → one row per decoded frame with per-channel means — the
+    decode end of frame_sample's plan stage. Batch-wise mapInPandas; the
+    decoded container's ACTUAL shape wins over catalog metadata (same
+    contract as image_features)."""
+    schema = T.StructType([
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"],
+                                          pdf["meta"]):
+                frames = _decode_video(bytes(payload), int(meta["width"]),
+                                       int(meta["height"]),
+                                       int(meta["duration_ms"]))
+                means = frames.astype(np.float64).mean(axis=(1, 2))
+                n, h, w = frames.shape[:3]
+                for f in range(n):
+                    out.append((aid, f, w, h,
+                                round(float(means[f, 0]), 6),
+                                round(float(means[f, 1]), 6),
+                                round(float(means[f, 2]), 6)))
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "frame_idx", "width", "height",
+                "mean_r", "mean_g", "mean_b"])
+
+    vids = assets.filter(F.col("kind") == "video")
+    return vids.select("asset_id", "payload", "meta").mapInPandas(gen, schema=schema)

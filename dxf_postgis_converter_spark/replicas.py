@@ -377,6 +377,48 @@ def audio_stat_rows(n: int, seed: int = 42):
     return out
 
 
+def video_frame_rows(n: int, seed: int = 42):
+    """(asset_id, frame_idx, width, height, mean_r, mean_g, mean_b) per
+    decoded video frame — derived from the SPEC, not the engine's
+    container parser: AVI-bearing assets (i % 9 == 5) carry the
+    documented gradient formula pix[y,x,c] = (3x+7y+11c+key+97f) mod 256
+    at (min(w,32), min(h,32)) with 4 + i%5*2 frames (the engine
+    round-trips these through actual RIFF/AVI encode/parse); the rest
+    take the deterministic-fake path (blake2b per (payload, frame),
+    min(8, ceil(dur/1s)) frames at the catalog shape)."""
+    import numpy as np
+    out = []
+    for i in range(n):
+        kind, payload, w, h, dur = synthetic_asset_meta(i, seed)
+        if kind != "video":
+            continue
+        if i % 9 == 5:
+            vw, vh = min(w, 32), min(h, 32)
+            nf, key = 4 + i % 5 * 2, i * 1009
+            ys = np.arange(vh, dtype=np.int64)[:, None, None]
+            xs = np.arange(vw, dtype=np.int64)[None, :, None]
+            cs = np.arange(3, dtype=np.int64)[None, None, :]
+            frames = np.stack([
+                ((3 * xs + 7 * ys + 11 * cs + key + 97 * f) % 256).astype(np.uint8)
+                for f in range(nf)])
+        else:
+            vw, vh, nf = w, h, min(8, (dur - 1) // 1000 + 1)
+            frames = np.empty((nf, vh, vw, 3), dtype=np.uint8)
+            for f in range(nf):
+                ps = int.from_bytes(hashlib.blake2b(
+                    payload + f.to_bytes(4, "big"), digest_size=8).digest(), "big")
+                frames[f] = np.random.default_rng(ps).integers(
+                    0, 256, size=(vh, vw, 3), dtype=np.uint8)
+        means = frames.astype(np.float64).mean(axis=(1, 2))
+        for f in range(frames.shape[0]):
+            # plain round(): the operator rounds Python-side (like
+            # audio_stat_rows), so F.round semantics don't apply here
+            out.append((f"asset_{i:08d}", f, vw, vh,
+                        round(float(means[f, 0]), 6), round(float(means[f, 1]), 6),
+                        round(float(means[f, 2]), 6)))
+    return out
+
+
 def frame_count_rows(n: int, every_ms: int = 1000, seed: int = 42):
     """(asset_id, n_frames) per video asset: |sequence(0, dur-1, step)|."""
     out = []

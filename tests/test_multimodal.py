@@ -276,3 +276,74 @@ def test_png_wavefront_decoder_large_mixed_filters():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert (decode_png(png) == img).all()
+
+
+def test_avi_roundtrip():
+    """encode_avi → decode_avi is the identity on frames + timing."""
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        decode_avi, encode_avi, gradient_frames,
+    )
+    for w, h, nf in [(24, 16, 5), (13, 7, 3), (1, 1, 1), (32, 32, 12)]:
+        frames = gradient_frames(w, h, nf, key=w * 1000 + h)
+        out, rate, scale = decode_avi(encode_avi(frames, rate=nf * 1000,
+                                                 scale=4321))
+        assert out.shape == (nf, h, w, 3)
+        assert (out == frames).all()
+        assert (rate, scale) == (nf * 1000, 4321)
+
+
+def test_avi_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        decode_avi, encode_avi, gradient_frames,
+    )
+    good = encode_avi(gradient_frames(8, 8, 2, key=1), rate=2000, scale=1000)
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFX" + good[4:])
+    # corrupt the strf bit depth (24 → 32) — parser must refuse, not
+    # misread pixel data
+    pos = good.index(b"strf")
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, pos + 8 + 14, 32)
+    with _pytest.raises(ValueError, match="unsupported AVI pixel"):
+        decode_avi(bytes(bad))
+    # truncated mid-frame (idx1 is 40 bytes; cut past it into the movi
+    # list so a frame chunk's declared length overruns the buffer)
+    with _pytest.raises(ValueError):
+        decode_avi(good[:len(good) - 60])
+
+
+def test_video_assets_carry_real_avi(assets):
+    """Every 3rd video asset is a parseable RIFF/AVI whose frames match
+    the documented gradient formula — the container path is REAL."""
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        decode_avi, gradient_frames,
+    )
+    real = [r for r in assets.filter("kind = 'video'").collect()
+            if int(r.asset_id.split("_")[1]) % 9 == 5]
+    assert real, "corpus must contain AVI-bearing videos"
+    for r in real:
+        i = int(r.asset_id.split("_")[1])
+        assert r.meta.codec == "avi-rawrgb"
+        frames, rate, scale = decode_avi(bytes(r.payload))
+        nf = 4 + i % 5 * 2
+        assert frames.shape[0] == nf and rate == nf * 1000
+        assert scale == r.meta.duration_ms
+        want = gradient_frames(min(r.meta.width, 32), min(r.meta.height, 32),
+                               nf, key=i * 1009)
+        assert (frames == want).all()
+
+
+def test_video_frame_stats_matches_replica(assets):
+    """Engine decode (real AVI parse + stub fake) vs the replica's
+    spec-formula derivation — value-level, both paths covered."""
+    from dxf_postgis_converter_spark import replicas
+    from dxf_postgis_converter_spark.functions.multimodal import (
+        video_frame_stats,
+    )
+    got = sorted(tuple(r) for r in video_frame_stats(assets).collect())
+    want = sorted(replicas.video_frame_rows(60))
+    assert got == want
