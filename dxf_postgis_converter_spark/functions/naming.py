@@ -56,13 +56,39 @@ LAT = {
     "Æ": "AE", "Œ": "OE", "Þ": "Th",
 }
 
+# CJK → pinyin romanization in unidecode's output format (capitalized
+# syllable + trailing space, e.g. 中 → "Zhong "): a curated table for the
+# CAD layer-name vocabulary domain (walls/doors/axes/dimensions/…), NOT
+# the full unidecode x4e-x9f table — characters outside it pass through
+# unchanged and sanitize_identifier turns them into '_' exactly as
+# before. Closes the CJK share of F1 for the names a DXF corpus
+# actually uses; full-table parity still needs unidecode itself.
+CJK = {
+    "图": "Tu ", "层": "Ceng ", "墙": "Qiang ", "门": "Men ",
+    "窗": "Chuang ", "柱": "Zhu ", "梁": "Liang ", "板": "Ban ",
+    "楼": "Lou ", "梯": "Ti ", "标": "Biao ", "注": "Zhu ",
+    "文": "Wen ", "字": "Zi ", "尺": "Chi ", "寸": "Cun ",
+    "轴": "Zhou ", "线": "Xian ", "中": "Zhong ", "心": "Xin ",
+    "家": "Jia ", "具": "Ju ", "电": "Dian ", "气": "Qi ",
+    "水": "Shui ", "暖": "Nuan ", "通": "Tong ", "风": "Feng ",
+    "结": "Jie ", "构": "Gou ", "建": "Jian ", "筑": "Zhu ",
+    "平": "Ping ", "面": "Mian ", "立": "Li ", "剖": "Pou ",
+    "详": "Xiang ", "总": "Zong ", "地": "Di ", "基": "Ji ",
+    "础": "Chu ", "顶": "Ding ", "底": "Di ", "外": "Wai ",
+    "内": "Nei ", "新": "Xin ", "旧": "Jiu ", "号": "Hao ",
+}
+
 # the full F1 mapping — single source of truth for the JVM expression,
 # the pure-Python mirror AND the DuckDB oracle chain (__spark_entry__)
-TRANSLIT = {**CYR, **LAT}
+TRANSLIT = {**CYR, **LAT, **CJK}
 
 _ONE = {k: v for k, v in TRANSLIT.items() if len(v) == 1}
 _DEL = [k for k, v in TRANSLIT.items() if v == ""]
 _MANY = {k: v for k, v in TRANSLIT.items() if len(v) > 1}
+# every 1:many entry becomes ONE nested replace() in the DuckDB oracle
+# twin (__spark_entry__._translit_sql); DuckDB's binder recurses ~128
+# deep, so keep headroom — grow _ONE freely, grow _MANY deliberately
+assert len(_MANY) <= 110, "replace chain nearing DuckDB binder depth"
 
 
 def transliterate(col: Column) -> Column:

@@ -172,3 +172,31 @@ def test_dup_word_fraction(spark):
     assert got[2] == 0.0
     assert got[3] == 0.5
     assert got[4] == 0.0         # blank → no repetition signal
+
+
+def test_transliterate_cjk(spark):
+    """CJK layer names romanize in unidecode's format (capitalized
+    syllable + trailing space) through BOTH the JVM expression and the
+    pure-Python mirror; sanitize_identifier then yields a clean
+    table-name stem. Out-of-table CJK passes through (→ '_')."""
+    from pyspark.sql import functions as F
+
+    from dxf_postgis_converter_spark.functions.naming import (
+        sanitize_identifier, transliterate, transliterate_py,
+    )
+
+    cases = {
+        "中心线": "Zhong Xin Xian ",
+        "墙体图层": "Qiang 体Tu Ceng ",   # 体 not in the curated table
+        "门窗-标注": "Men Chuang -Biao Zhu ",
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = {r[0]: r[1] for r in df.select("s", transliterate(F.col("s"))).collect()}
+    for s, want in cases.items():
+        assert transliterate_py(s) == want, s
+        assert got[s] == want, s
+
+    san = {r[0]: r[1] for r in df.select(
+        "s", sanitize_identifier(F.col("s"))).collect()}
+    assert san["中心线"] == "zhong_xin_xian_"
+    assert san["门窗-标注"] == "men_chuang_biao_zhu_"
