@@ -137,6 +137,34 @@ def run_stage(
             "complete": not remaining}
 
 
+def run_stage_from_table(
+    spark: SparkSession,
+    *,
+    stage: str,
+    table,
+    transform: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    lineage: LineageLog,
+    version: int | None = None,
+    **kw,
+) -> dict:
+    """run_stage over a :class:`~..sources.snapshot_store.SnapshotTable`
+    source: the lineage snapshot_id IS the source's manifest snapshot_id,
+    closing the north-rule loop ("per-partition lineage (Iceberg snapshot
+    id, partition hash, row counts)") with a real table version instead
+    of a caller tag. Re-runs against the same snapshot skip completed
+    buckets; a new commit to the source changes the snapshot id, so every
+    bucket re-processes against the new data — resume state can never
+    leak across data versions."""
+    v = table.current_version() if version is None else version
+    if v is None:
+        raise ValueError(f"source table {table.path} has no snapshots")
+    sid = table._manifest(v)["snapshot_id"]
+    return run_stage(spark, stage=stage, snapshot_id=sid,
+                     source=table.read(version=v), transform=transform,
+                     out_dir=out_dir, lineage=lineage, **kw)
+
+
 def stage_metrics(spark: SparkSession, lineage: LineageLog) -> DataFrame:
     """Operational rollup: per (stage, snapshot) bucket/row totals."""
     return (

@@ -29,7 +29,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--out", default="/tmp/spatial_pipeline_out")
-    ap.add_argument("--snapshot", default="v1")
+    ap.add_argument("--snapshot", default=None,
+                    help="override the lineage snapshot tag; by default the "
+                         "documents are committed to a snapshot-versioned "
+                         "table and its REAL manifest snapshot_id keys the "
+                         "lineage (north_rule: per-partition lineage = "
+                         "(Iceberg snapshot id, partition hash, row counts))")
     ap.add_argument("--n-buckets", type=int, default=16)
     args = ap.parse_args()
 
@@ -39,17 +44,33 @@ def main() -> None:
     from dxf_postgis_converter_spark.functions.decode import decode_documents
     from dxf_postgis_converter_spark.operators.spatial_join import point_in_polygon_join
     from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
-    from dxf_postgis_converter_spark.plans.lineage import LineageLog, run_stage
+    from dxf_postgis_converter_spark.plans.lineage import (
+        LineageLog, run_stage, run_stage_from_table,
+    )
+    from dxf_postgis_converter_spark.sources.snapshot_store import SnapshotTable
 
     lineage = LineageLog(os.path.join(args.out, "lineage"))
     docs = load_documents(spark, args.sf)
     zones = load_zones(spark, args.sf)
 
-    s1 = run_stage(
-        spark, stage="decode", snapshot_id=args.snapshot, source=docs,
-        transform=lambda df: decode_documents(df, keep_media_ref=False),
-        out_dir=os.path.join(args.out, "entities"), lineage=lineage,
-        n_buckets=args.n_buckets)
+    decode_tf = lambda df: decode_documents(df, keep_media_ref=False)  # noqa: E731
+    if args.snapshot is not None:  # caller-tagged lineage (legacy shape)
+        s1 = run_stage(
+            spark, stage="decode", snapshot_id=args.snapshot, source=docs,
+            transform=decode_tf, out_dir=os.path.join(args.out, "entities"),
+            lineage=lineage, n_buckets=args.n_buckets)
+    else:
+        # source-of-truth shape: documents live in a versioned table; the
+        # decode stage's resume state is keyed by the table's actual
+        # snapshot id, so re-running after a new ingest commit
+        # re-processes while a plain re-run resumes
+        docs_tbl = SnapshotTable(spark, os.path.join(args.out, "documents_tbl"))
+        if not docs_tbl.exists():
+            docs_tbl.append(docs)
+        s1 = run_stage_from_table(
+            spark, stage="decode", table=docs_tbl, transform=decode_tf,
+            out_dir=os.path.join(args.out, "entities"), lineage=lineage,
+            n_buckets=args.n_buckets)
     print(json.dumps(s1))
 
     ents = spark.read.parquet(os.path.join(args.out, "entities"))

@@ -109,3 +109,45 @@ def test_failed_stage_records_nothing(spark, docs_df, dirs):
                   transform=_transform, out_dir=out_dir, lineage=log,
                   n_buckets=N_BUCKETS)
     assert s["complete"] and s["processed_buckets"] == N_BUCKETS
+
+
+def test_run_stage_from_snapshot_table(spark, docs_df, dirs, tmp_path):
+    """Lineage keyed by REAL snapshot ids: same snapshot resumes (all
+    buckets skipped), a new commit to the source re-processes everything
+    under a distinct snapshot id — resume state never leaks across data
+    versions."""
+    from dxf_postgis_converter_spark.plans.lineage import (
+        run_stage_from_table,
+    )
+    from dxf_postgis_converter_spark.sources.snapshot_store import (
+        SnapshotTable,
+    )
+
+    out_dir, log = dirs
+    src = SnapshotTable(spark, str(tmp_path / "docs_tbl"))
+    src.append(docs_df.limit(20))
+
+    s1 = run_stage_from_table(spark, stage="decode", table=src,
+                              transform=_transform, out_dir=out_dir,
+                              lineage=log, n_buckets=N_BUCKETS)
+    assert s1["complete"] and s1["processed_buckets"] == N_BUCKETS
+
+    # same snapshot → pure resume, nothing re-processed
+    s2 = run_stage_from_table(spark, stage="decode", table=src,
+                              transform=_transform, out_dir=out_dir,
+                              lineage=log, n_buckets=N_BUCKETS)
+    assert s2["processed_buckets"] == 0 and s2["skipped_buckets"] == N_BUCKETS
+
+    # new commit = new snapshot id → full re-process, old state intact
+    src.append(docs_df.limit(30).subtract(docs_df.limit(20)))
+    s3 = run_stage_from_table(spark, stage="decode", table=src,
+                              transform=_transform, out_dir=out_dir,
+                              lineage=log, n_buckets=N_BUCKETS)
+    assert s3["processed_buckets"] == N_BUCKETS
+
+    sids = {r.snapshot_id for r in stage_metrics(spark, log).collect()}
+    assert sids == {src._manifest(0)["snapshot_id"],
+                    src._manifest(1)["snapshot_id"]}
+    # the final out_dir state reflects the NEW snapshot's full input
+    n_out = spark.read.parquet(out_dir).select("doc_id").distinct().count()
+    assert n_out == 30
