@@ -191,8 +191,13 @@ def encode_avi(frames: np.ndarray, rate: int, scale: int) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return ck(b"LIST", kind + body)
 
-    usec_per_frame = int(round(1_000_000 * scale / rate))
-    avih = struct.pack("<14I", usec_per_frame, stride * h * rate // max(scale, 1),
+    # avih's derived timing/bandwidth fields are advisory (strh
+    # rate/scale is the authoritative clock) and uint32 — clamp for
+    # extreme rationals instead of overflowing (found by hypothesis)
+    u32 = 0xFFFFFFFF
+    usec_per_frame = min(int(round(1_000_000 * scale / rate)), u32)
+    max_bps = min(stride * h * rate // max(scale, 1), u32)
+    avih = struct.pack("<14I", usec_per_frame, max_bps,
                        0, 0x10, n, 0, 1, stride * h, w, h, 0, 0, 0, 0)
     strh = struct.pack("<4s4sIIIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0,
                        scale, rate, 0, n, stride * h, 0xFFFFFFFF, 0, 0, 0, w, h)
