@@ -86,6 +86,15 @@ def _file_stats(path: str) -> dict:
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            # parquet writers may TRUNCATE long binary stats; a truncated
+            # max can understate the file's range and a range-pruned
+            # merge would then silently skip rows it must rewrite. Treat
+            # suspiciously-long stats as absent (= file always rewritten
+            # — correct, just unpruned). doc_ids here are short uuids,
+            # so this guard never fires in practice.
+            if isinstance(mn, str) and (len(mn) >= 60 or len(mx) >= 60):
+                lo = hi = None
+                break
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
     return {"rows": meta.num_rows, "bytes": os.path.getsize(path),
@@ -311,6 +320,11 @@ class SnapshotTable:
                     shutil.rmtree(d)
         for v in drop:
             os.unlink(os.path.join(self._snap_dir, f"v{v}.json"))
+        # a writer that crashed between manifest write and claim leaves a
+        # .tmp-*.json behind (the claim's finally never ran) — sweep them
+        for f in os.listdir(self._snap_dir) if os.path.isdir(self._snap_dir) else []:
+            if f.startswith(".tmp-"):
+                os.unlink(os.path.join(self._snap_dir, f))
         return {"expired_snapshots": len(drop), "removed_files": removed_files}
 
 

@@ -111,9 +111,13 @@ def test_rollback_and_expire(table, spark):
     n_parquet = lambda: sum(
         f.endswith(".parquet") for _, _, fs in os.walk(table.path) for f in fs)
     before = n_parquet()
+    # a crashed writer's orphan tmp manifest is swept too
+    orphan = os.path.join(table._snap_dir, ".tmp-deadbeef.json")
+    open(orphan, "w").write("{}")
     rep = table.expire_snapshots(keep_last=1)
     assert rep["expired_snapshots"] == 2
     assert n_parquet() < before
+    assert not os.path.exists(orphan)
     assert {r["doc_id"] for r in table.read().collect()} == {"docA"}
 
 
