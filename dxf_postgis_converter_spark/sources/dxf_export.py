@@ -209,3 +209,95 @@ def documents_to_dxf(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id", "spans").mapInPandas(
         gen, schema=EXPORT_SCHEMA)
+
+
+ROUNDTRIP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_media", T.IntegerType()),
+    T.StructField("n_exported", T.IntegerType()),
+    T.StructField("n_skipped", T.IntegerType()),
+    T.StructField("n_reingested", T.IntegerType()),
+    T.StructField("n_mismatch", T.IntegerType()),
+])
+
+# Types whose geometry is lossy across export→re-ingest BY DESIGN
+# (mirrors the reference writer): SPLINE is re-read as its flattened
+# polyline (dxf_reader.py:280), MULTILEADER/WIPEOUT have no geometry
+# branch in _apply_geometry_dict, HATCH boundaries are re-emitted as 2D
+# polyline paths (dxf_writer.py:504) so only pattern/solid/path-count
+# survive verbatim.
+_LOSSY_GEOM = frozenset({"SPLINE", "MULTILEADER", "WIPEOUT", "HATCH"})
+
+
+def _value_subsumed(a, b) -> bool:
+    """Every value in ``a`` appears identically in ``b`` (re-extraction
+    may ADD type-default keys the stored payload omitted, never change
+    one)."""
+    if isinstance(a, dict):
+        return isinstance(b, dict) and all(
+            _value_subsumed(v, b.get(k)) for k, v in a.items())
+    if isinstance(a, list):
+        return (isinstance(b, list) and len(b) == len(a)
+                and all(_value_subsumed(x, y) for x, y in zip(a, b)))
+    return a == b
+
+
+def _roundtrip_mismatches(media_refs: list[str], spans2: list[dict]) -> int:
+    """Count positions where the re-ingested span breaks the fidelity
+    contract vs the original media_ref (value-level rule of
+    tests/test_dxf_export.py::test_corpus_payloads_roundtrip_value_level)."""
+    if len(spans2) != len(media_refs):
+        return abs(len(spans2) - len(media_refs))
+    bad = 0
+    for ref1, s2 in zip(media_refs, spans2):
+        p1, p2 = json.loads(ref1), json.loads(s2["media_ref"])
+        et = p1.get("entity_type")
+        if (p2.get("entity_type") != et or p2.get("layer") != p1.get("layer")
+                or p2.get("handle") != p1.get("handle")):
+            bad += 1
+            continue
+        g1, g2 = p1.get("geometries") or {}, p2.get("geometries") or {}
+        if et == "HATCH":
+            ok = (g2.get("pattern_name") == g1.get("pattern_name")
+                  and g2.get("solid_fill") == g1.get("solid_fill")
+                  and len(g2.get("hatch_paths") or []) == len(g1.get("hatch_paths") or []))
+            bad += 0 if ok else 1
+            continue
+        if et in _LOSSY_GEOM:
+            continue
+        if not _value_subsumed(g1, g2):
+            bad += 1
+    return bad
+
+
+def export_roundtrip_report(documents: DataFrame) -> DataFrame:
+    """Per-document export→re-ingest fidelity report: each document's
+    media spans are written to a real ASCII-DXF drawing
+    (``document_to_dxf``), parsed back through the public tag codec
+    (``parse_dxf`` → ``spans_from_entity_snapshots``), and the
+    re-extracted span sequence is value-compared against the original
+    (reference ``test_dxf_round_trip`` analogue run DISTRIBUTED). One
+    Arrow-batched Python stage, no shuffle — at 10^12 documents the
+    check scales with the scan exactly like export itself."""
+    from .dxf_files import spans_from_entity_snapshots
+    from .dxf_parser import parse_dxf
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = list(spans)
+                media_refs = [s["media_ref"] for s in spans
+                              if s["kind"] == "media"]
+                content, n_exp, n_skip = document_to_dxf(spans)
+                styles, snaps, blocks = parse_dxf(content.decode("utf-8"))
+                spans2 = spans_from_entity_snapshots(snaps, styles, blocks)
+                rows.append((doc_id, len(media_refs), n_exp, n_skip,
+                             len(spans2),
+                             _roundtrip_mismatches(media_refs, spans2)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_media", "n_exported", "n_skipped",
+                "n_reingested", "n_mismatch"])
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        gen, schema=ROUNDTRIP_SCHEMA)
