@@ -464,31 +464,46 @@ def pip_poly_zone_rows(points, zones):
     px = np.array([r[2] for r in points], dtype=np.float64)
     py = np.array([r[3] for r in points], dtype=np.float64)
     for zone_id, kind, params_json in zones:
-        ring = _zone_ring(kind, params_json)
-        if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
-            ring = ring[:-1]
-        x1, y1 = ring[:, 0], ring[:, 1]
-        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        # isLeft: >0 when the point lies left of the directed edge
-        is_left = ((x2 - x1)[None, :] * (py[:, None] - y1[None, :])
-                   - (px[:, None] - x1[None, :]) * (y2 - y1)[None, :])
-        # upward edge crossing counts +1 when the point is strictly left;
-        # downward crossing counts -1 when strictly right (half-open
-        # y-ranges give each vertex to exactly one incident edge)
-        up = ((y1[None, :] <= py[:, None]) & (y2[None, :] > py[:, None])
-              & (is_left > 0))
-        down = ((y1[None, :] > py[:, None]) & (y2[None, :] <= py[:, None])
-                & (is_left < 0))
-        inside = (up.sum(axis=1) - down.sum(axis=1)) != 0
-        # boundary-inclusive: |cross| tiny and within the segment bbox
-        dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
-        cross = (px[:, None] - x1[None, :]) * dy - (py[:, None] - y1[None, :]) * dx
-        scale = np.maximum(np.abs(dx), np.abs(dy)) + 1.0
-        within = ((np.minimum(x1, x2)[None, :] - 1e-12 <= px[:, None])
-                  & (px[:, None] <= np.maximum(x1, x2)[None, :] + 1e-12)
-                  & (np.minimum(y1, y2)[None, :] - 1e-12 <= py[:, None])
-                  & (py[:, None] <= np.maximum(y1, y2)[None, :] + 1e-12))
-        on_edge = ((np.abs(cross) <= 1e-12 * scale) & within).any(axis=1)
-        for i in np.nonzero(inside | on_edge)[0]:
+        hit = winding_covers(px, py, _zone_ring(kind, params_json))
+        for i in np.nonzero(hit)[0]:
             out.append((points[i][0], points[i][1], zone_id))
     return out
+
+
+def winding_covers(px, py, ring):
+    """Boundary-inclusive containment of (px, py) batches in one simple
+    ring via Sunday's signed-crossing WINDING NUMBER — the algorithm-twin
+    of geometry/predicates.points_in_polygon (even-odd ray cast): for
+    simple rings wn != 0 ⟺ even-odd inside, but vertex handling,
+    horizontal edges, and left/right strictness are computed by different
+    math. Shared by the q_pip_poly_zones oracle and the cross-algorithm
+    fuzz test."""
+    import numpy as np
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # isLeft: >0 when the point lies left of the directed edge
+    is_left = ((x2 - x1)[None, :] * (py[:, None] - y1[None, :])
+               - (px[:, None] - x1[None, :]) * (y2 - y1)[None, :])
+    # upward edge crossing counts +1 when the point is strictly left;
+    # downward crossing counts -1 when strictly right (half-open
+    # y-ranges give each vertex to exactly one incident edge)
+    up = ((y1[None, :] <= py[:, None]) & (y2[None, :] > py[:, None])
+          & (is_left > 0))
+    down = ((y1[None, :] > py[:, None]) & (y2[None, :] <= py[:, None])
+            & (is_left < 0))
+    inside = (up.sum(axis=1) - down.sum(axis=1)) != 0
+    # boundary-inclusive: |cross| tiny and within the segment bbox
+    dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+    cross = (px[:, None] - x1[None, :]) * dy - (py[:, None] - y1[None, :]) * dx
+    scale = np.maximum(np.abs(dx), np.abs(dy)) + 1.0
+    within = ((np.minimum(x1, x2)[None, :] - 1e-12 <= px[:, None])
+              & (px[:, None] <= np.maximum(x1, x2)[None, :] + 1e-12)
+              & (np.minimum(y1, y2)[None, :] - 1e-12 <= py[:, None])
+              & (py[:, None] <= np.maximum(y1, y2)[None, :] + 1e-12))
+    on_edge = ((np.abs(cross) <= 1e-12 * scale) & within).any(axis=1)
+    return inside | on_edge
