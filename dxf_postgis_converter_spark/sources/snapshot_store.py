@@ -289,6 +289,80 @@ class SnapshotTable:
         return self._commit(carried + new_files, f"merge:{ImportMode(mode).value}",
                             schema_json, head)
 
+    def changes(self, from_version: int, to_version: int | None = None,
+                include_rewrites: bool = False) -> DataFrame:
+        """Incremental scan (Iceberg ``incremental read`` semantics): the
+        rows of data files ADDED strictly after ``from_version`` up to and
+        including ``to_version`` (default: head), with a ``_version``
+        column naming the commit that added each row's file.
+
+        Like Iceberg, an append-only range is exact CDC; a range that
+        crosses an overwrite/merge/rewrite commit raises (those snapshots
+        REPLACE files, so "added rows" over-reports) unless
+        ``include_rewrites=True``, in which case rewritten files' rows are
+        included and the caller owns the dedup."""
+        if to_version is None:
+            to_version = self.current_version()
+        if to_version is None or from_version > to_version:
+            raise ValueError(f"bad range v{from_version}..v{to_version}")
+        versions = [v for v in self._versions()
+                    if from_version < v <= to_version]
+        picked: list[tuple[str, int]] = []
+        for v in versions:
+            m = self._manifest(v)
+            op = m["operation"]
+            if op != "append" and not include_rewrites:
+                raise ValueError(
+                    f"v{v} is '{op}' — not an append; incremental rows "
+                    "would over-report (pass include_rewrites=True to "
+                    "accept rewritten files)")
+            parent_files = set() if m["parent"] is None else {
+                f["path"] for f in self._manifest(m["parent"])["files"]}
+            picked += [(f["path"], v) for f in m["files"]
+                       if f["path"] not in parent_files]
+        schema = StructType.fromJson(self._manifest(to_version)["schema"])
+        if not picked:
+            return self.spark.createDataFrame([], schema).withColumn(
+                "_version", F.lit(None).cast("int"))
+        # one read per adding-commit (files of one commit share a version)
+        parts = []
+        by_v: dict[int, list[str]] = {}
+        for path, v in picked:
+            by_v.setdefault(v, []).append(os.path.join(self.path, path))
+        for v, paths in sorted(by_v.items()):
+            parts.append(self.spark.read.schema(schema).parquet(*paths)
+                         .withColumn("_version", F.lit(v)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_files(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Bin-pack small data files (Iceberg ``rewrite_data_files``):
+        rows are untouched — files under the target size are read back and
+        rewritten as ~target-sized files; files already at or above the
+        target carry over by reference. Commits a ``rewrite`` snapshot (a
+        semantic no-op; ``changes`` treats it like any other replace)."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"table {self.path} has no snapshots")
+        m = self._manifest(head)
+        small = [f for f in m["files"] if f["bytes"] < target_file_bytes]
+        carried = [f for f in m["files"] if f["bytes"] >= target_file_bytes]
+        if len(small) < 2:
+            return {"version": head, "compacted": 0, "produced": 0}
+        schema = StructType.fromJson(m["schema"])
+        total = sum(f["bytes"] for f in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in small]) \
+            .coalesce(int(n_out))
+        new_files = self._stage_files(df)
+        version = self._commit(carried + new_files, "rewrite",
+                               m["schema"], head)
+        return {"version": version, "compacted": len(small),
+                "produced": len(new_files)}
+
     def rollback(self, version: int) -> int:
         """Commit a NEW snapshot whose file set is version's (history is
         append-only; Iceberg ``rollback_to_snapshot`` semantics)."""

@@ -186,3 +186,65 @@ def test_concurrent_appenders_all_land(spark, tmp_path):
     # every historical snapshot is still readable and monotonic
     sizes = [h["n_rows"] for h in t.history()]
     assert sizes == sorted(sizes) and sizes[-1] == 9
+
+
+def test_incremental_changes_append_only(table, spark):
+    """changes(from, to) returns exactly the rows added by the commits in
+    range, tagged with the adding version — Iceberg incremental read."""
+    table.append(_ents(spark, "docA", "L1", ["a", "b"]))   # v0
+    table.append(_ents(spark, "docB", "L1", ["c"]))        # v1
+    table.append(_ents(spark, "docC", "L2", ["d", "e"]))   # v2
+    got = table.changes(0).select("doc_id", "name", "_version").collect()
+    assert {(r["doc_id"], r["name"], r["_version"]) for r in got} == {
+        ("docB", "c", 1), ("docC", "d", 2), ("docC", "e", 2)}
+    # bounded range
+    mid = table.changes(0, to_version=1).collect()
+    assert {r["doc_id"] for r in mid} == {"docB"}
+    # empty range at head
+    assert table.changes(2).count() == 0
+
+
+def test_incremental_changes_refuses_replaces(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.merge(_ents(spark, "docA", "L1", ["a2"]), ImportMode.ADD_OBJECTS)
+    with pytest.raises(ValueError, match="merge"):
+        table.changes(0)
+    # opting in surfaces the rewritten file's rows
+    rows = table.changes(0, include_rewrites=True).collect()
+    assert {r["name"] for r in rows} == {"a", "a2"}
+
+
+def test_compact_files_is_a_semantic_noop(table, spark):
+    """Many tiny appended files bin-pack into fewer files; the row set and
+    subsequent COW merges are unchanged."""
+    for i in range(6):
+        table.append(_ents(spark, f"doc{i}", "L1", ["x", "y"]).coalesce(1))
+    before = {tuple(r) for r in table.read().collect()}
+    n_files_before = len(table._manifest(table.current_version())["files"])
+    rep = table.compact_files(target_file_bytes=1 << 20)
+    assert rep["compacted"] == n_files_before and rep["produced"] == 1
+    m = table._manifest(table.current_version())
+    assert m["operation"] == "rewrite"
+    assert len(m["files"]) == 1
+    assert {tuple(r) for r in table.read().collect()} == before
+    # stats survive the rewrite, so COW pruning still works after compaction
+    assert m["files"][0]["stat_min"] == "doc0"
+    assert m["files"][0]["stat_max"] == "doc5"
+    table.merge(_ents(spark, "doc3", "L1", ["z"]), ImportMode.ADD_OBJECTS)
+    assert table.read().count() == 13
+
+
+def test_compact_files_carries_big_files_by_reference(table, spark):
+    table.append(_ents(spark, "docA", "L1", [f"n{i}" for i in range(50)])
+                 .coalesce(1))
+    big = {f["path"] for f in table._manifest(0)["files"]}
+    table.append(_ents(spark, "docB", "L1", ["b"]).coalesce(1))
+    table.append(_ents(spark, "docC", "L1", ["c"]).coalesce(1))
+    small_threshold = max(
+        f["bytes"] for f in table._manifest(2)["files"]
+        if f["path"] not in big) + 1
+    rep = table.compact_files(target_file_bytes=small_threshold)
+    # both small files rewritten (bin count follows ceil(total/target))
+    assert rep["compacted"] == 2 and 1 <= rep["produced"] <= 2
+    after = {f["path"] for f in table._manifest(table.current_version())["files"]}
+    assert big <= after  # untouched file carried by reference
