@@ -198,3 +198,23 @@ def test_knn_oneshot_job_count_input_independent(spark):
     # the oneshot must undercut it there (measured 19 vs 61 at pin time)
     assert ladder_dense > ladder_uniform, (ladder_dense, ladder_uniform)
     assert one_dense < ladder_dense, (one_dense, ladder_dense)
+
+
+def test_export_and_roundtrip_plans_single_python_stage(spark, docs_df, tmp_path):
+    """Export and the roundtrip report are each ONE Arrow-batched Python
+    stage over the document scan — no shuffle, no row-at-a-time UDF, and
+    only (doc_id, spans) read from a real file scan: the stage scales
+    with the scan at 10^12 documents."""
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        documents_to_dxf, export_roundtrip_report,
+    )
+
+    for op in (documents_to_dxf, export_roundtrip_report):
+        simple = plan_of(op(docs_df), "simple")
+        assert simple.count("MapInPandas") == 1, simple[:1500]
+        assert "Exchange" not in simple, simple[:1500]
+        assert "BatchEvalPython" not in simple
+    pq = str(tmp_path / "docs_export")
+    docs_df.write.parquet(pq)
+    plan_pq = plan_of(export_roundtrip_report(spark.read.parquet(pq)))
+    assert "ReadSchema: struct<doc_id:string,spans:array" in plan_pq
