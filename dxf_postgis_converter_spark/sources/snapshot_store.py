@@ -249,6 +249,44 @@ class SnapshotTable:
                     raise
         raise AssertionError("unreachable")
 
+    def append_stream_batch(self, df: DataFrame, batch_id: int,
+                            _retries: int = 3) -> int | None:
+        """Idempotent per-micro-batch append for ``foreachBatch`` sinks:
+        the batch id is recorded in the snapshot ``operation`` and a
+        replayed batch (foreachBatch's at-least-once contract) is skipped
+        — Iceberg's streaming epoch-id commit dedup. Returns the committed
+        version, or None when this batch id already has a snapshot.
+
+        Concurrent replays of the SAME batch are safe: the loser's
+        ``CommitConflict`` triggers a re-check, finds the winner's
+        snapshot, drops its own staged files, and skips."""
+        op = f"stream-append:batch={int(batch_id)}"
+
+        def committed() -> bool:
+            return any(self._manifest(v)["operation"] == op
+                       for v in self._versions())
+
+        if committed():
+            return None
+        schema_json = self._schema_json(df)
+        new_files = self._stage_files(df.select(
+            *[f["name"] for f in schema_json["fields"]]))
+        for attempt in range(_retries + 1):
+            head = self.current_version()
+            carried = [] if head is None else self._manifest(head)["files"]
+            try:
+                return self._commit(carried + new_files, op,
+                                    schema_json, head)
+            except CommitConflict:
+                if committed():
+                    if new_files:  # the concurrent replay won — clean up
+                        shutil.rmtree(os.path.join(self.path, os.path.dirname(
+                            new_files[0]["path"])), ignore_errors=True)
+                    return None
+                if attempt == _retries:
+                    raise
+        raise AssertionError("unreachable")
+
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table (delete-all + insert, S9)."""
         head = self.current_version()
@@ -311,7 +349,8 @@ class SnapshotTable:
         for v in versions:
             m = self._manifest(v)
             op = m["operation"]
-            if op != "append" and not include_rewrites:
+            is_append = op == "append" or op.startswith("stream-append:")
+            if not is_append and not include_rewrites:
                 raise ValueError(
                     f"v{v} is '{op}' — not an append; incremental rows "
                     "would over-report (pass include_rewrites=True to "

@@ -111,3 +111,18 @@ def write_stream_exactly_once(stream_df: DataFrame, out_dir: str,
 
     return (stream_df.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir))
+
+
+def write_stream_to_snapshot_table(stream_df: DataFrame, table,
+                                   checkpoint_dir: str):
+    """Exactly-once streaming sink into a SnapshotTable: every micro-batch
+    commits ONE snapshot via ``append_stream_batch`` (batch id recorded in
+    the operation, replays deduped — Iceberg's streaming epoch-id rule).
+    Because each commit is an APPEND, downstream consumers can follow the
+    table with ``table.changes(v)`` as an incremental CDC read. Returns
+    the DataStreamWriter (caller starts it)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_stream_batch(batch_df, batch_id)
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))
