@@ -411,6 +411,33 @@ class SnapshotTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Delete data files referenced by NO snapshot — the staged output
+        of writers that crashed before their commit — WITHOUT touching
+        history (every version stays readable). Iceberg
+        ``remove_orphan_files`` semantics, including the age guard: a file
+        younger than ``older_than_s`` may belong to a writer that is
+        between staging and committing, so it is left alone (Iceberg's
+        ``older_than`` timestamp exists for exactly this race)."""
+        live = set()
+        for v in self._versions():
+            live.update(f["path"] for f in self._manifest(v)["files"])
+        removed = 0
+        now = time.time()
+        if os.path.isdir(self._data_dir):
+            for sub in os.listdir(self._data_dir):
+                d = os.path.join(self._data_dir, sub)
+                for f in os.listdir(d):
+                    full = os.path.join(d, f)
+                    rel = os.path.relpath(full, self.path)
+                    if (rel not in live
+                            and now - os.path.getmtime(full) >= older_than_s):
+                        os.unlink(full)
+                        removed += 1
+                if not os.listdir(d):
+                    shutil.rmtree(d)
+        return {"removed_files": removed}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` manifests and delete data
         files no surviving snapshot references (plus orphaned staging

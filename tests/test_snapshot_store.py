@@ -248,3 +248,25 @@ def test_compact_files_carries_big_files_by_reference(table, spark):
     assert rep["compacted"] == 2 and 1 <= rep["produced"] <= 2
     after = {f["path"] for f in table._manifest(table.current_version())["files"]}
     assert big <= after  # untouched file carried by reference
+
+
+def test_remove_orphan_files_keeps_history(table, spark):
+    """A crashed writer's staged-but-uncommitted files are swept; every
+    snapshot stays readable; fresh files survive the age guard."""
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.append(_ents(spark, "docB", "L1", ["b"]))
+    # crashed writer: staged, never committed
+    table._stage_files(_ents(spark, "docZ", "L9", ["zombie"]))
+    n_parquet = lambda: sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(table.path) for f in fs)
+    before = n_parquet()
+    # age guard: everything is younger than an hour → nothing removed
+    assert table.remove_orphan_files()["removed_files"] == 0
+    assert n_parquet() == before
+    rep = table.remove_orphan_files(older_than_s=0.0)
+    assert rep["removed_files"] >= 1
+    assert {r["doc_id"] for r in table.read().collect()} == {"docA", "docB"}
+    assert {r["doc_id"] for r in table.read(version=0).collect()} == {"docA"}
+    assert len(table.history()) == 2
+    # idempotent
+    assert table.remove_orphan_files(older_than_s=0.0)["removed_files"] == 0
