@@ -219,23 +219,38 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
-    def _schema_json(self, df: DataFrame) -> dict:
+    def _schema_json(self, df: DataFrame,
+                     allow_new_columns: bool = False) -> dict:
         cur = self.current_version()
         sj = json.loads(df.schema.json())
-        if cur is not None:
-            existing = self._manifest(cur)["schema"]
-            if {f["name"] for f in existing["fields"]} != {f["name"] for f in sj["fields"]}:
-                raise ValueError(
-                    "schema mismatch: table has "
-                    f"{[f['name'] for f in existing['fields']]}, "
-                    f"write has {[f['name'] for f in sj['fields']]}")
+        if cur is None:
+            return sj
+        existing = self._manifest(cur)["schema"]
+        have = {f["name"] for f in existing["fields"]}
+        writing = {f["name"] for f in sj["fields"]}
+        if writing == have:
             return existing  # keep canonical field order
-        return sj
+        if allow_new_columns and writing > have:
+            # additive schema evolution (Iceberg add-column): canonical
+            # order + the new fields appended; data files committed BEFORE
+            # this snapshot read through the wider schema as NULL for the
+            # added columns, so no rewrite happens
+            new = [f for f in sj["fields"] if f["name"] not in have]
+            return {**existing, "fields": existing["fields"] + new}
+        raise ValueError(
+            "schema mismatch: table has "
+            f"{[f['name'] for f in existing['fields']]}, "
+            f"write has {[f['name'] for f in sj['fields']]}"
+            + ("" if allow_new_columns else
+               " (pass allow_new_columns=True for additive evolution)"))
 
-    def append(self, df: DataFrame, _retries: int = 3) -> int:
+    def append(self, df: DataFrame, _retries: int = 3,
+               allow_new_columns: bool = False) -> int:
         """Append-only commit (retries transparently on conflict — an
-        append planned against any head is valid against any newer one)."""
-        schema_json = self._schema_json(df)
+        append planned against any head is valid against any newer one).
+        ``allow_new_columns=True`` lets the write carry extra columns and
+        evolves the table schema additively."""
+        schema_json = self._schema_json(df, allow_new_columns)
         new_files = self._stage_files(df.select(
             *[f["name"] for f in schema_json["fields"]]))
         for attempt in range(_retries + 1):

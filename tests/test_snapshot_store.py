@@ -270,3 +270,28 @@ def test_remove_orphan_files_keeps_history(table, spark):
     assert len(table.history()) == 2
     # idempotent
     assert table.remove_orphan_files(older_than_s=0.0)["removed_files"] == 0
+
+
+def test_additive_schema_evolution(table, spark):
+    """Iceberg add-column: a wider write evolves the schema in the commit;
+    files from before the evolution read as NULL for the new column with
+    no rewrite; time travel keeps the old shape; COW merge works through
+    the evolved schema."""
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    files_v0 = {f["path"] for f in table._manifest(0)["files"]}
+    wider = _ents(spark, "docB", "L1", ["b"]).withColumn("score", F.lit(1.5))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(wider)
+    table.append(wider, allow_new_columns=True)
+    assert files_v0 <= {f["path"] for f in table._manifest(1)["files"]}  # no rewrite
+    rows = {(r["doc_id"], r["score"]) for r in table.read().collect()}
+    assert rows == {("docA", None), ("docB", 1.5)}
+    assert "score" not in table.read(version=0).columns  # time travel
+    # the table's canonical schema is now the wider one: narrow writes
+    # are rejected again (no silent column drops)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(_ents(spark, "docC", "L1", ["c"]))
+    table.merge(wider.withColumn("score", F.lit(2.0)),
+                ImportMode.OVERWRITE_OBJECTS)
+    assert {(r["doc_id"], r["score"]) for r in table.read().collect()} == {
+        ("docA", None), ("docB", 2.0)}
