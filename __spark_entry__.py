@@ -91,6 +91,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # helpers
 # ---------------------------------------------------------------------------
 
+_GATE_TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "gate_tmp")
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Repo-local scratch for gate queries — NOT /tmp, which an external
+    reaper on this box wipes periodically (observed mid-run: blockmgr
+    dirs deleted under a live job). Prior runs' dirs older than 6h are
+    swept best-effort so repeated gate/selfcheck runs stay bounded."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+    os.makedirs(_GATE_TMP, exist_ok=True)
+    now = _time.time()
+    for d in os.listdir(_GATE_TMP):
+        full = os.path.join(_GATE_TMP, d)
+        try:
+            if now - os.path.getmtime(full) > 6 * 3600:
+                _shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    return _tempfile.mkdtemp(prefix=prefix, dir=_GATE_TMP)
+
+
 def _dec_sum(col, alias, scale=2):
     return F.round(F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale).alias(alias)
 
@@ -401,8 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dxf_postgis_converter_spark.streaming.events import (
             hourly_event_counts, read_event_stream, run_available_now,
         )
-        src = tempfile.mkdtemp(prefix="evt_stream_src_")
-        ck = tempfile.mkdtemp(prefix="evt_stream_ck_")
+        src = _scratch_dir("evt_stream_src_")
+        ck = _scratch_dir("evt_stream_ck_")
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
         run_available_now(hourly_event_counts(stream), ck, "q_events_stream_sink")
@@ -423,8 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dxf_postgis_converter_spark.streaming.events import (
             dedup_events, read_event_stream, run_available_now,
         )
-        src = tempfile.mkdtemp(prefix="evt_dedup_src_")
-        ck = tempfile.mkdtemp(prefix="evt_dedup_ck_")
+        src = _scratch_dir("evt_dedup_src_")
+        ck = _scratch_dir("evt_dedup_ck_")
         ev = load_table(spark, sf_dir, "events")
         ev.unionByName(ev.filter(F.col("event_id") % 3 == 0)) \
             .write.mode("overwrite").parquet(src)
@@ -542,9 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
 
         from dxf_postgis_converter_spark.streaming.pipeline import run_zone_hits_pipeline
-        src = tempfile.mkdtemp(prefix="doc_stream_src_")
-        ck = tempfile.mkdtemp(prefix="doc_stream_ck_")
-        out = tempfile.mkdtemp(prefix="doc_stream_out_")
+        src = _scratch_dir("doc_stream_src_")
+        ck = _scratch_dir("doc_stream_ck_")
+        out = _scratch_dir("doc_stream_out_")
         corpus_documents(spark, sf_dir).write.mode("overwrite").parquet(src)
         # rect + holed + multi: the ring-complete refine runs under
         # Structured Streaming too, not just the batch path (circle/poly
@@ -921,7 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from dxf_postgis_converter_spark.plans.lineage import LineageLog, run_stage
         docs = corpus_documents(spark, sf_dir)
-        work = tempfile.mkdtemp(prefix="lineage_q_")
+        work = _scratch_dir("lineage_q_")
         kwargs = dict(
             stage="decode", snapshot_id="snap1", source=docs,
             transform=lambda d: decode_documents(d, keep_media_ref=False),
@@ -1189,7 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dxf_postgis_converter_spark.sources.snapshot_store import SnapshotTable
         e = _media(spark, sf_dir).select(
             "doc_id", "layer", "name", "entity_type", "span_offset")
-        t = SnapshotTable(spark, tempfile.mkdtemp(prefix="gate_snapshot_"))
+        t = SnapshotTable(spark, _scratch_dir("gate_snapshot_"))
         t.append(e.filter(F.col("span_offset") % 2 == 0))
         t.merge(e.filter(F.col("span_offset") % 3 == 0),
                 ImportMode.OVERWRITE_OBJECTS)
