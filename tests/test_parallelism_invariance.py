@@ -1,0 +1,100 @@
+"""Partitioning invariance — the correctness half of the north rule.
+
+On a real cluster the SAME query runs over arbitrary partitionings (N vs
+4N executors re-split every scan and shuffle), so any operator whose
+answer depends on partition layout is wrong-at-scale even if every
+single-layout test passes. Each case runs the operator over adversarial
+repartitionings of identical input (one fat partition; many skinny ones;
+a skewed split) and pins the exact result multiset."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dxf_postgis_converter_spark.operators.knn import knn_join
+from dxf_postgis_converter_spark.operators.dedup import minhash_lsh_pairs
+from dxf_postgis_converter_spark.operators.spatial_join import (
+    point_in_polygon_join,
+)
+from dxf_postgis_converter_spark.operators.tiles import tile_pyramid_counts
+
+
+def _multiset(df, ndigits=9):
+    def canon(v):
+        return round(v, ndigits) if isinstance(v, float) else v
+    return Counter(tuple(canon(v) for v in r) for r in df.collect())
+
+
+LAYOUTS = [lambda df: df.coalesce(1),
+           lambda df: df.repartition(13),
+           lambda df: df.repartition(3, "doc_id")
+           if "doc_id" in df.columns else df.repartition(3)]
+
+
+@pytest.fixture(scope="module")
+def pts(entities_df):
+    return entities_df.filter(F.col("geom_type") == "POINT").select(
+        "doc_id", "handle",
+        F.col("xmin").alias("x"), F.col("ymin").alias("y")).cache()
+
+
+def test_pip_join_partitioning_invariant(pts, zones_df):
+    base = _multiset(point_in_polygon_join(pts, zones_df, res=6)
+                     .select("doc_id", "handle", "zone_id"))
+    assert sum(base.values()) > 0
+    for layout in LAYOUTS:
+        got = _multiset(point_in_polygon_join(layout(pts), zones_df, res=6)
+                        .select("doc_id", "handle", "zone_id"))
+        assert got == base
+
+
+@pytest.mark.parametrize("strategy", ["oneshot", "ladder"])
+def test_knn_partitioning_invariant(spark, strategy):
+    rng = np.random.default_rng(11)
+    t = np.vstack([rng.uniform(0, 4096, size=(300, 2)),
+                   rng.normal(loc=(900, 900), scale=20, size=(80, 2))])
+    tdf = spark.createDataFrame(
+        [(f"t{i}", float(x), float(y)) for i, (x, y) in enumerate(t)],
+        "target_id string, x double, y double")
+    p = rng.uniform(0, 4096, size=(40, 2))
+    pdf = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(p)],
+        "probe_id string, x double, y double")
+    sel = ["probe_id", "rank", "target_id"]
+    base = _multiset(knn_join(pdf, tdf, k=3, res=6,
+                              strategy=strategy).select(*sel))
+    assert sum(base.values()) == 40 * 3
+    for layout in LAYOUTS[:2]:
+        got = _multiset(knn_join(layout(pdf), layout(tdf), k=3, res=6,
+                                 strategy=strategy).select(*sel))
+        assert got == base
+
+
+def test_minhash_pairs_partitioning_invariant(spark):
+    base_txt = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the woods tonight under a bright cold moon")
+    rows = [(f"d{i}", base_txt.replace("lazy", w))
+            for i, w in enumerate(["lazy", "sleepy", "angry"])]
+    rows += [(f"x{i}", f"totally unrelated document number {i} about spark "
+              f"shuffle partitioning and adaptive execution plans {i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sel = ["id_a", "id_b"]
+    base = _multiset(minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+                     .select(*sel))
+    assert sum(base.values()) > 0
+    for layout in LAYOUTS:
+        got = _multiset(minhash_lsh_pairs(layout(docs), jaccard_threshold=0.5)
+                        .select(*sel))
+        assert got == base
+
+
+def test_tile_pyramid_partitioning_invariant(entities_df):
+    base = _multiset(tile_pyramid_counts(entities_df, z_max=6, z_min=3))
+    assert sum(base.values()) > 0
+    for layout in LAYOUTS:
+        got = _multiset(tile_pyramid_counts(layout(entities_df),
+                                            z_max=6, z_min=3))
+        assert got == base
