@@ -391,12 +391,18 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
-    def compact_files(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def compact_files(self, target_file_bytes: int = 128 * 1024 * 1024,
+                      cluster_by: str | None = None) -> dict:
         """Bin-pack small data files (Iceberg ``rewrite_data_files``):
         rows are untouched — files under the target size are read back and
         rewritten as ~target-sized files; files already at or above the
         target carry over by reference. Commits a ``rewrite`` snapshot (a
-        semantic no-op; ``changes`` treats it like any other replace)."""
+        semantic no-op; ``changes`` treats it like any other replace).
+
+        ``cluster_by`` additionally range-partitions the rewrite on that
+        column (Iceberg sort-order rewrite): output files get DISJOINT
+        min/max stats, so a later COW ``merge`` scoped to a few documents
+        rewrites one file instead of all of them."""
         head = self.current_version()
         if head is None:
             raise ValueError(f"table {self.path} has no snapshots")
@@ -407,10 +413,14 @@ class SnapshotTable:
             return {"version": head, "compacted": 0, "produced": 0}
         schema = StructType.fromJson(m["schema"])
         total = sum(f["bytes"] for f in small)
-        n_out = max(1, -(-total // target_file_bytes))
+        n_out = int(max(1, -(-total // target_file_bytes)))
         df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, f["path"]) for f in small]) \
-            .coalesce(int(n_out))
+            *[os.path.join(self.path, f["path"]) for f in small])
+        if cluster_by is not None:
+            df = df.repartitionByRange(n_out, F.col(cluster_by)) \
+                   .sortWithinPartitions(cluster_by)
+        else:
+            df = df.coalesce(n_out)
         new_files = self._stage_files(df)
         version = self._commit(carried + new_files, "rewrite",
                                m["schema"], head)

@@ -295,3 +295,26 @@ def test_additive_schema_evolution(table, spark):
                 ImportMode.OVERWRITE_OBJECTS)
     assert {(r["doc_id"], r["score"]) for r in table.read().collect()} == {
         ("docA", None), ("docB", 2.0)}
+
+
+def test_clustered_compaction_tightens_pruning(table, spark):
+    """cluster_by range-partitions the rewrite so output files carry
+    DISJOINT doc_id stats — a later merge scoped to one doc rewrites one
+    file, where unsorted compaction would touch them all."""
+    docs = [f"doc{i:02d}" for i in range(8)]
+    for a, b in zip(docs[0::2], docs[1::2]):
+        # interleave: each tiny file spans the whole doc range without sort
+        table.append(_ents(spark, a, "L1", ["x"]).unionByName(
+            _ents(spark, b, "L1", ["x"])).coalesce(1))
+    rep = table.compact_files(target_file_bytes=3000, cluster_by="doc_id")
+    assert rep["compacted"] == 4 and rep["produced"] >= 2
+    m = table._manifest(table.current_version())
+    spans = sorted((f["stat_min"], f["stat_max"]) for f in m["files"])
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, spans  # disjoint (or touching) ranges
+    # merge scoped to the FIRST doc touches exactly one file
+    before = {f["path"] for f in m["files"]}
+    table.merge(_ents(spark, docs[0], "L1", ["y"]), ImportMode.ADD_OBJECTS)
+    after = {f["path"] for f in table._manifest(table.current_version())["files"]}
+    assert len(before - after) == 1  # one file rewritten, rest by reference
+    assert table.read().count() == 9  # 8 original rows + 1 merged insert
