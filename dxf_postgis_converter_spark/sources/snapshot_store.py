@@ -281,24 +281,38 @@ class SnapshotTable:
             return any(self._manifest(v)["operation"] == op
                        for v in self._versions())
 
+        def drop_staged(files) -> None:
+            if files:
+                shutil.rmtree(os.path.join(self.path, os.path.dirname(
+                    files[0]["path"])), ignore_errors=True)
+
         if committed():
             return None
         schema_json = self._schema_json(df)
         new_files = self._stage_files(df.select(
             *[f["name"] for f in schema_json["fields"]]))
         for attempt in range(_retries + 1):
+            # the dedup check must be bound to the head the commit is
+            # planned against: read head FIRST, then scan history — any
+            # same-batch commit that lands after the scan also bumps the
+            # head past `head`, so our _commit(expected_parent=head) loses
+            # the version claim and we re-check. (Checking only before the
+            # loop is a TOCTOU hole: a racing replay's commit advances the
+            # head we then plan against fresh, no conflict, duplicate rows
+            # — caught by test_concurrent_same_batch_stream_appends_dedupe.)
             head = self.current_version()
+            if committed():
+                drop_staged(new_files)  # a concurrent replay won
+                return None
             carried = [] if head is None else self._manifest(head)["files"]
             try:
                 return self._commit(carried + new_files, op,
                                     schema_json, head)
             except CommitConflict:
-                if committed():
-                    if new_files:  # the concurrent replay won — clean up
-                        shutil.rmtree(os.path.join(self.path, os.path.dirname(
-                            new_files[0]["path"])), ignore_errors=True)
-                    return None
                 if attempt == _retries:
+                    if committed():
+                        drop_staged(new_files)
+                        return None
                     raise
         raise AssertionError("unreachable")
 

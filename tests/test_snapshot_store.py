@@ -318,3 +318,39 @@ def test_clustered_compaction_tightens_pruning(table, spark):
     after = {f["path"] for f in table._manifest(table.current_version())["files"]}
     assert len(before - after) == 1  # one file rewritten, rest by reference
     assert table.read().count() == 9  # 8 original rows + 1 merged insert
+
+
+def test_concurrent_same_batch_stream_appends_dedupe(spark, tmp_path):
+    """Two replays of the SAME micro-batch race: exactly one snapshot
+    lands, the loser cleans up its staged files, rows appear once."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "stream_race"))
+    t.append(_ents(spark, "seed", "L0", ["s"]))
+    results, errors = [], []
+
+    def writer():
+        try:
+            df = _ents(spark, "docB", "L1", ["b1", "b2"])
+            results.append(t.append_stream_batch(df, batch_id=7))
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert sorted(r is None for r in results) == [False, True, True, True]
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("stream-append:batch=7") == 1
+    assert t.read().count() == 3  # seed + b1 + b2, exactly once
+    # losers' staged files are gone: disk holds exactly the files some
+    # manifest references, nothing more
+    on_disk = {os.path.relpath(os.path.join(r, f), t.path)
+               for r, _, fs in os.walk(t._data_dir) for f in fs
+               if f.endswith(".parquet")}
+    referenced = {p for v in t._versions()
+                  for p in (f["path"] for f in t._manifest(v)["files"])}
+    assert on_disk == referenced
