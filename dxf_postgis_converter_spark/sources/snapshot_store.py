@@ -372,6 +372,14 @@ class SnapshotTable:
             to_version = self.current_version()
         if to_version is None or from_version > to_version:
             raise ValueError(f"bad range v{from_version}..v{to_version}")
+        if not os.path.exists(os.path.join(self._snap_dir,
+                                           f"v{from_version}.json")):
+            # expire_snapshots drops a PREFIX of history; an expired base
+            # also means in-range parents are gone — fail with the cause
+            # instead of a FileNotFoundError mid-scan
+            raise ValueError(
+                f"v{from_version} has been expired — incremental base lost "
+                "(consumers must keep up with the expiry horizon)")
         versions = [v for v in self._versions()
                     if from_version < v <= to_version]
         picked: list[tuple[str, int]] = []

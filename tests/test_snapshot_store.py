@@ -354,3 +354,14 @@ def test_concurrent_same_batch_stream_appends_dedupe(spark, tmp_path):
     referenced = {p for v in t._versions()
                   for p in (f["path"] for f in t._manifest(v)["files"])}
     assert on_disk == referenced
+
+
+def test_changes_from_expired_base_fails_loudly(table, spark):
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.append(_ents(spark, "docB", "L1", ["b"]))
+    table.append(_ents(spark, "docC", "L1", ["c"]))
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        table.changes(0)
+    # a surviving base still works
+    assert {r["doc_id"] for r in table.changes(1).collect()} == {"docC"}
