@@ -163,13 +163,17 @@ def minhash_lsh_pairs(
 
     a = buckets.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "_band", "_bhash")
     b = buckets.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "_band", "_bhash")
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.size("sig_a")
+    # est is computed BEFORE the pair dedup so the dropDuplicates shuffle
+    # carries three scalars per candidate instead of two 64-long sig
+    # arrays (~1KB/row); every duplicate of a pair has the identical est,
+    # so the surviving row is the same either way
     cand = (
         a.join(b, ["_band", "_bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.size("sig_a")
-    cand = cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
     ga = base.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
     gb = base.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
     return (
