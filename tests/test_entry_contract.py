@@ -108,3 +108,14 @@ def test_auto_enroll_trims_window_to_gate_sample(monkeypatch):
     assert len(e._DISPLACED) == n_unseen
     assert hand_front[-1] in e._DISPLACED  # the old window's last entry fell out
     assert all(d not in window for d in e._DISPLACED)
+
+
+def test_displaced_names_were_previously_gated():
+    """Auto-enroll displacement may only evict queries that already have
+    at least one driver row (are in the ever-gated ledger) — displacing a
+    never-gated query would make it invisible to the driver forever."""
+    import __spark_entry__ as e
+
+    e.queries()
+    for k in e._DISPLACED:
+        assert k in e._EVER_GATED, k
