@@ -295,3 +295,40 @@ def embedding_neardup_pairs(
     cos = dot / (F.col("n_a") * F.col("n_b"))
     return cand.withColumn("cosine", F.round(cos, 6)) \
         .filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+# --- benchmark contamination (train/test overlap) ----------------------------
+
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            bench_id_col: str = "bench_id",
+                            bench_text_col: str = "text",
+                            n: int = 13) -> DataFrame:
+    """Training-corpus contamination against an eval benchmark: a document
+    is flagged when it shares at least one word n-gram with a benchmark
+    item (the GPT-3 appendix-C rule, default n=13). Returns one row per
+    contaminated (doc, bench item) pair with the shared-gram count and the
+    fraction of the benchmark item's grams found in the doc.
+
+    Scale shape: the benchmark is the SMALL side by definition (thousands
+    of items vs 10^12 docs) — its exploded gram table is broadcast, so the
+    corpus is one scan + one broadcast hash join on the gram string; the
+    per-pair aggregation shuffles only the (rare) collision rows. Zero
+    Python anywhere."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g"))
+    bench_grams = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("_g"))
+    bench_sizes = benchmark.select(
+        F.col(bench_id_col),
+        F.size(word_shingles(F.col(bench_text_col), n)).alias("_bn"))
+    hits = doc_grams.join(F.broadcast(bench_grams), "_g")
+    return (
+        hits.groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("shared_grams"))
+        .join(F.broadcast(bench_sizes), bench_id_col)
+        .select(id_col, bench_id_col, "shared_grams",
+                F.round(F.col("shared_grams") / F.col("_bn"), 6)
+                .alias("bench_coverage"))
+    )

@@ -105,3 +105,48 @@ def test_embedding_neardup(spark):
     assert (100, 101) in exact and len(exact) == 1
     lsh = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.95, n_planes=8).collect()}
     assert (100, 101) in lsh and lsh <= exact
+
+
+def test_benchmark_contamination(spark):
+    """GPT-3 13-gram rule: only docs embedding a benchmark item's 13-gram
+    are flagged; coverage is the fraction of the item's grams found."""
+    from dxf_postgis_converter_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    bench_text = ("what is the capital of france the capital of france is "
+                  "paris which is on the seine")  # 17 tokens → 5 13-grams
+    bench = spark.createDataFrame(
+        [("b1", bench_text),
+         ("b2", "completely disjoint benchmark question about nothing "
+                "shared with any training document at all here now ok")],
+        "bench_id string, text string")
+    docs = spark.createDataFrame(
+        [("d_full", "PREFIX " + bench_text + " SUFFIX"),     # all grams
+         ("d_part", " ".join(bench_text.split()[:13])),      # first gram only
+         ("d_clean", "an innocuous training document with no overlap "
+                     "whatsoever against either benchmark item text")],
+        "doc_id string, text string")
+    got = {(r.doc_id, r.bench_id): (r.shared_grams, r.bench_coverage)
+           for r in benchmark_contamination(docs, bench, n=13).collect()}
+    assert set(got) == {("d_full", "b1"), ("d_part", "b1")}
+    assert got[("d_full", "b1")] == (5, 1.0)
+    assert got[("d_part", "b1")] == (1, 0.2)
+
+
+def test_benchmark_contamination_plan_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle on the gram join: benchmark
+    grams broadcast (it is the small side by definition), zero Python."""
+    import contextlib
+    import io
+
+    from dxf_postgis_converter_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    docs = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    bench = spark.createDataFrame([("b", "a b c")], "bench_id string, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        benchmark_contamination(docs, bench).explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2  # gram join + size join
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
