@@ -6,7 +6,7 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${MASTER:-local[8]}"
 SF="${SF:-0.001}"
-OUT="${OUT:-/tmp/spatial_pipeline_out}"
+OUT="${OUT:-$REPO/data/spatial_pipeline_out}"  # NOT /tmp: an external reaper wipes it mid-run
 
 mkdir -p "$REPO/dist"
 ZIP="$REPO/dist/dxf_postgis_converter_spark.zip"
