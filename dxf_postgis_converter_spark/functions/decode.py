@@ -373,7 +373,8 @@ def _encode(kind, coords):
         return wkb_point(x, y, z), "POINT", (x, y, x, y)
     if kind in ("line", "poly"):
         a = np.asarray(coords, dtype=np.float64)
-        bbox = (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
+        lo, hi = a.min(axis=0), a.max(axis=0)  # one reduction pair, not four
+        bbox = (lo[0], lo[1], hi[0], hi[1])
         if kind == "line":
             return wkb_linestring(a), "LINESTRING", bbox
         return wkb_polygon(a), "POLYGON", bbox
