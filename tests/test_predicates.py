@@ -134,3 +134,73 @@ def test_even_odd_agrees_with_winding_number(data):
     assert disagree.size == 0, (
         [(px[i], py[i], bool(eo[i]), bool(wn[i])) for i in disagree[:5]],
         ring.tolist())
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_even_odd_rings_agree_with_winding_number_on_holes(data):
+    """Holed-polygon twin: even-odd crossing SUMS over all rings
+    (points_in_polygon_rings) vs the winding-number composition
+    wn(exterior)!=0 AND wn(hole)==0, boundary-inclusive on every ring —
+    independently derived bookkeeping for the ring-complete refine."""
+    from dxf_postgis_converter_spark.geometry.predicates import (
+        points_in_polygon_rings,
+    )
+    from dxf_postgis_converter_spark.replicas import winding_covers
+
+    # Exterior star with radii 10..45 whose vertices are jittered around
+    # an even angular spread (max gap ≤ 2·360/n ≤ 90° at n ≥ 8), so its
+    # inscribed disk around the center has radius ≥ 10·cos(45°) ≈ 7.07 —
+    # the hole (radii ≤ 4) is then guaranteed strictly interior, keeping
+    # the polygon OGC-valid (the even-odd SUM contract assumes a valid
+    # ring set: an earlier unconstrained generator produced a sliver
+    # exterior NOT containing the hole and "found" a vacuous mismatch).
+    n1 = data.draw(st.integers(8, 14))
+    step = 36000 // n1
+    jit = np.array(data.draw(st.lists(
+        st.integers(0, step - 1), min_size=n1, max_size=n1)), float)
+    ang1 = (np.arange(n1) * step + jit) * (np.pi / 18000.0)
+    rad1 = np.array(data.draw(st.lists(
+        st.integers(1000, 4500), min_size=n1, max_size=n1)), float) / 100.0
+    ext = np.stack([50.0 + rad1 * np.cos(ang1),
+                    50.0 + rad1 * np.sin(ang1)], axis=1)
+    n2 = data.draw(st.integers(3, 8))
+    ang2 = np.sort(np.array(data.draw(st.lists(
+        st.integers(0, 35999), min_size=n2, max_size=n2, unique=True)),
+        float)) * (np.pi / 18000.0)
+    rad2 = np.array(data.draw(st.lists(
+        st.integers(100, 400), min_size=n2, max_size=n2)), float) / 100.0
+    hole = np.stack([50.0 + rad2 * np.cos(ang2),
+                     50.0 + rad2 * np.sin(ang2)], axis=1)
+
+    gx, gy = np.meshgrid(np.linspace(0.0, 100.0, 15),
+                         np.linspace(0.0, 100.0, 15))
+    ring_pts = np.concatenate([ext, hole])
+    mids = np.concatenate([(ext + np.roll(ext, -1, axis=0)) / 2.0,
+                           (hole + np.roll(hole, -1, axis=0)) / 2.0])
+    through = np.stack([ring_pts[:, 0] + 5.1, ring_pts[:, 1]], axis=1)
+    pts = np.concatenate([
+        np.stack([gx.ravel(), gy.ravel()], axis=1), ring_pts, mids, through])
+    px, py = pts[:, 0], pts[:, 1]
+
+    eo = points_in_polygon_rings(px, py, [ext, hole])
+    # winding composition: in exterior, not strictly in hole, or ON any
+    # ring (hole boundaries belong to the polygon — covers semantics)
+    on_any = np.zeros(len(px), dtype=bool)
+    strict_hole = winding_covers(px, py, hole)
+    # winding_covers is boundary-INCLUSIVE; carve out "strictly inside
+    # the hole" = covered by hole minus on-hole-boundary
+    from dxf_postgis_converter_spark.geometry.predicates import (
+        _points_on_segments,
+    )
+    def on_ring(ring):
+        r = ring
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        return _points_on_segments(px[:, None], py[:, None], x1, y1, x2, y2)
+    on_any = on_ring(ext) | on_ring(hole)
+    wn = (winding_covers(px, py, ext)
+          & ~(strict_hole & ~on_ring(hole))) | on_any
+    disagree = np.nonzero(eo != wn)[0]
+    assert disagree.size == 0, (
+        [(px[i], py[i], bool(eo[i]), bool(wn[i])) for i in disagree[:5]])
