@@ -204,3 +204,39 @@ def test_even_odd_rings_agree_with_winding_number_on_holes(data):
     disagree = np.nonzero(eo != wn)[0]
     assert disagree.size == 0, (
         [(px[i], py[i], bool(eo[i]), bool(wn[i])) for i in disagree[:5]])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_multipolygon_covered_agrees_with_winding_number(data):
+    """MULTIPOLYGON any-part coverage (points_covered) vs the winding
+    twin OR-composed over parts — two disjoint star parts (centers 60
+    apart, radii ≤ 25, so parts cannot touch)."""
+    from dxf_postgis_converter_spark.geometry.predicates import points_covered
+    from dxf_postgis_converter_spark.replicas import winding_covers
+
+    parts = []
+    for cx in (20.0, 80.0):
+        n = data.draw(st.integers(3, 10))
+        ang = np.sort(np.array(data.draw(st.lists(
+            st.integers(0, 35999), min_size=n, max_size=n, unique=True)),
+            float)) * (np.pi / 18000.0)
+        rad = np.array(data.draw(st.lists(
+            st.integers(100, 2500), min_size=n, max_size=n)), float) / 100.0
+        parts.append(np.stack([cx + rad * np.cos(ang),
+                               50.0 + rad * np.sin(ang)], axis=1))
+
+    gx, gy = np.meshgrid(np.linspace(-10.0, 110.0, 17),
+                         np.linspace(20.0, 80.0, 9))
+    verts = np.concatenate(parts)
+    mids = np.concatenate([(p + np.roll(p, -1, axis=0)) / 2.0 for p in parts])
+    through = np.stack([verts[:, 0] + 3.7, verts[:, 1]], axis=1)
+    pts = np.concatenate([
+        np.stack([gx.ravel(), gy.ravel()], axis=1), verts, mids, through])
+    px, py = pts[:, 0], pts[:, 1]
+
+    eo = points_covered(px, py, [[p] for p in parts])  # MULTIPOLYGON shape
+    wn = winding_covers(px, py, parts[0]) | winding_covers(px, py, parts[1])
+    disagree = np.nonzero(eo != wn)[0]
+    assert disagree.size == 0, (
+        [(px[i], py[i], bool(eo[i]), bool(wn[i])) for i in disagree[:5]])
