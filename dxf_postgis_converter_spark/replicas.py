@@ -257,26 +257,37 @@ def ivf_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[f
 
 
 def embedding_neardup_lsh(emb: list[tuple[int, list[float]]], threshold: float,
-                          n_planes: int = 12, seed: int = 1234):
-    """LSH-bucketed near-dup pairs + exact cosine verify (the scale path
-    of operators/dedup.embedding_neardup_pairs)."""
+                          n_planes: int = 12, n_bands: int = 8,
+                          seed: int = 1234, max_bucket: int = 1000):
+    """BANDED LSH near-dup pairs + exact cosine verify (the scale path of
+    operators/dedup.embedding_neardup_pairs): n_bands independent bands
+    of n_planes hyperplanes drawn from ONE rng stream (rows b·r..(b+1)·r
+    belong to band b — the operator slices the same matrix), per-band
+    buckets larger than max_bucket dropped, candidate pairs deduped
+    across bands before the exact verify."""
     dim = len(emb[0][1])
-    planes = _planes(dim, n_planes, seed)
-    buckets: dict[str, list[int]] = {}
+    planes = _planes(dim, n_bands * n_planes, seed)
     evec = {i: (v, _fold_norm(v)) for i, v in emb}
-    for i, v in emb:
-        buckets.setdefault(_sig_bits(v, planes), []).append(i)
+    pairs: set[tuple[int, int]] = set()
+    for bi in range(n_bands):
+        band = planes[bi * n_planes:(bi + 1) * n_planes]
+        buckets: dict[str, list[int]] = {}
+        for i, v in emb:
+            buckets.setdefault(_sig_bits(v, band), []).append(i)
+        for ids in buckets.values():
+            if len(ids) > max_bucket:
+                continue
+            ids.sort()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pairs.add((ids[x], ids[y]))
     out = []
-    for ids in buckets.values():
-        ids.sort()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a, b = ids[x], ids[y]
-                va, na = evec[a]
-                vb, nb = evec[b]
-                cos = round6(_fold_dot(va, vb) / (na * nb))
-                if cos >= threshold:
-                    out.append((a, b, cos))
+    for a, b in pairs:
+        va, na = evec[a]
+        vb, nb = evec[b]
+        cos = round6(_fold_dot(va, vb) / (na * nb))
+        if cos >= threshold:
+            out.append((a, b, cos))
     return sorted(out)
 
 

@@ -26,9 +26,14 @@ Fidelity contract (mirrors the reference's):
   the flattening tolerance. (The reference writer goes further and
   restores NO spline geometry at all — it has no SPLINE branch in
   ``_apply_geometry_dict``.)
-- types without an extraction rule (MULTILEADER, WIPEOUT, …) export
-  their base attributes only, like the reference's factory-new +
-  attribs path when no geometry branch matches.
+- MULTILEADER round-trips its full leader context (leader lines,
+  per-leader dogleg properties, mtext anchor) through the codec's
+  CONTEXT_DATA groups — parity with the reference's ezdxf builder
+  reconstruction (dxf_writer.py:508-664; visual-signature contract
+  tests/test_integration.py:802-913).
+- types without an extraction rule (WIPEOUT, …) export their base
+  attributes only, like the reference's factory-new + attribs path
+  when no geometry branch matches.
 """
 
 from __future__ import annotations
@@ -222,11 +227,14 @@ ROUNDTRIP_SCHEMA = T.StructType([
 
 # Types whose geometry is lossy across export→re-ingest BY DESIGN
 # (mirrors the reference writer): SPLINE is re-read as its flattened
-# polyline (dxf_reader.py:280), MULTILEADER/WIPEOUT have no geometry
-# branch in _apply_geometry_dict, HATCH boundaries are re-emitted as 2D
-# polyline paths (dxf_writer.py:504) so only pattern/solid/path-count
-# survive verbatim.
-_LOSSY_GEOM = frozenset({"SPLINE", "MULTILEADER", "WIPEOUT", "HATCH"})
+# polyline (dxf_reader.py:280), WIPEOUT has no geometry branch in
+# _apply_geometry_dict, HATCH boundaries are re-emitted as 2D polyline
+# paths (dxf_writer.py:504) so only pattern/solid/path-count survive
+# verbatim. MULTILEADER left this set in round 6: the codec now writes
+# and re-reads the full leader context (dxf_parser._b_multileader),
+# matching the reference's builder parity (dxf_writer.py:508-664,
+# signature contract test_integration.py:802-913).
+_LOSSY_GEOM = frozenset({"SPLINE", "WIPEOUT", "HATCH"})
 
 
 def _value_subsumed(a, b) -> bool:
@@ -301,3 +309,34 @@ def export_roundtrip_report(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id", "spans").mapInPandas(
         gen, schema=ROUNDTRIP_SCHEMA)
+
+
+REINGEST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("media_ref", T.StringType()),
+])
+
+
+def export_reingest_spans(documents: DataFrame) -> DataFrame:
+    """Export each document to real ASCII-DXF bytes and parse them
+    straight back: (doc_id, offset, media_ref) of the RE-INGESTED media
+    spans. This exposes the writer's output as payload rows so per-type
+    fidelity signatures (e.g. the MULTILEADER leader-context contract)
+    can be asserted column-side against the original payloads. Same
+    scale shape as export itself: one Arrow-batched stage, no shuffle."""
+    from .dxf_files import spans_from_entity_snapshots
+    from .dxf_parser import parse_dxf
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                content, _n, _skipped = document_to_dxf(list(spans))
+                styles, snaps, blocks = parse_dxf(content.decode("utf-8"))
+                for s in spans_from_entity_snapshots(snaps, styles, blocks):
+                    rows.append((doc_id, s["offset"], s["media_ref"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "media_ref"])
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        gen, schema=REINGEST_SCHEMA)

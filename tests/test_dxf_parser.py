@@ -250,6 +250,19 @@ ALL_TYPES = [
     _tuple("HELIX", {"base_point": [0.0, 0.0, 0.0],
                      "axis_vector": [0.0, 0.0, 1.0], "radius": 2.0,
                      "turns": 3.0, "height": 6.0}, "1D", "0"),
+    _tuple("MULTILEADER", {
+        "text": "note A", "base_point": [10.0, 20.0, 1.5],
+        "char_height": 2.5, "rotation": 15.0,
+        "leader_lines": [[[0.0, 0.0, 0.0], [4.0, 2.0, 0.0], [8.0, 2.0, 0.5]],
+                         [[1.0, -1.0, 0.0], [6.0, -2.0, 0.0]]],
+        "leader_properties": [
+            {"attachment_direction": 1, "dogleg_length": 2.0,
+             "dogleg_vector": [1.0, 0.0, 0.0],
+             "has_horizontal_attachment": True,
+             "has_dogleg_vector": True,
+             "last_leader_point": [8.0, 2.0, 0.5]},
+            {"attachment_direction": 0, "dogleg_length": 0.0}]},
+           "1E", "0"),
 ]
 
 STYLES = {"Walls": {"color": 5, "linetype": "DASHED", "lineweight": 25,

@@ -79,8 +79,8 @@ def test_extractor_table_covers_reference_dispatch():
            "3DFACE", "SOLID", "TRACE", "3DSOLID", "BODY", "REGION", "MESH",
            "HATCH", "LEADER", "RAY", "XLINE", "ATTRIB", "SHAPE", "VIEWPORT",
            "IMAGE", "IMAGEDEF", "DIMENSION", "HELIX"}
-    missing = ref - set(EXTRACTORS) - {"MULTILEADER"}  # MULTILEADER needs the
-    # rendered context object; its decode-side rules are covered by C19
+    missing = ref - set(EXTRACTORS)  # incl. MULTILEADER since round 6:
+    # the codec serializes the leader context (dxf_parser._b_multileader)
     assert not missing
 
 
