@@ -195,6 +195,34 @@ def main() -> int:
                      or "ShuffledHashJoin" in p["simple"]
                      or "BroadcastHashJoin" in p["simple"]))])
 
+    # 8. IVF top-k, distributed query side (r6): BOTH sides enter the
+    #    bucket join through Arrow-batched assignment maps — the query
+    #    side must NOT funnel through a driver collect/LocalTableScan
+    import numpy as np
+
+    from dxf_postgis_converter_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    emb_pq = os.path.join(tmp, "emb")
+    spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>").write.mode("overwrite").parquet(emb_pq)
+    emb_scan = spark.read.parquet(emb_pq)
+    qs_scan = emb_scan.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    cents = rng.standard_normal((16, 8))
+    all_ok &= audit(
+        sections, "IVF top-k (distributed query side)",
+        ivf_topk(emb_scan.filter("vec_id >= 5"), qs_scan, k=5,
+                 centroids=cents, n_probe=4, query_path="distributed"),
+        [("query probes are a distributed map, not a driver collect "
+          "(no LocalTableScan anywhere: both sides come from real scans)",
+          lambda p: "LocalTableScan" not in p["simple"]
+          and p["simple"].count("MapInPandas") == 2),
+         ("candidate join is an equi-join on centroid_id",
+          lambda p: "CartesianProduct" not in p["simple"]
+          and "BroadcastNestedLoopJoin" not in p["simple"])])
+
     lines = [
         "# PLAN_AUDIT — physical plans of the flagship operators",
         "",

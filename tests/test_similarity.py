@@ -97,6 +97,60 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.9
 
 
+def test_ivf_query_paths_identical(spark):
+    """VERDICT r5 item 5: the distributed query side (Arrow-batched probe
+    assignment, no driver collect) must produce EXACTLY the rows of the
+    driver/broadcast path — same probes (the (q−c)² distance expansion is
+    shared bitwise), same candidates, same rerank."""
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 12)) * 4
+    vecs = [(i, (centers[i % 6] + rng.standard_normal(12) * 0.5).tolist())
+            for i in range(300)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    base = emb.filter("vec_id >= 8")
+    kw = dict(k=5, n_centroids=8, n_probe=3)
+    drv = {tuple(r) for r in ivf_topk(base, qs, query_path="driver", **kw).collect()}
+    dist = {tuple(r) for r in ivf_topk(base, qs, query_path="distributed", **kw).collect()}
+    assert drv == dist and len(drv) == 8 * 5
+    # auto dispatch: tiny query set stays on the driver path (same rows
+    # either way — this pins the dispatcher doesn't error)
+    auto = {tuple(r) for r in ivf_topk(base, qs, query_path="auto", **kw).collect()}
+    assert auto == drv
+
+
+def test_ivf_distributed_plan_has_no_query_collect(spark):
+    """The large-query path must not funnel the query side through the
+    driver: no LocalTableScan of probe rows (createDataFrame) in the
+    plan — the query side enters as a MapInPandas over the real scan."""
+    import contextlib
+    import io
+
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    base = emb.filter("vec_id >= 4")
+    centroids = np.asarray([v for _, v in vecs[4:20]], dtype=np.float64)
+    df = ivf_topk(base, qs, k=3, n_centroids=16, n_probe=2,
+                  centroids=centroids, query_path="distributed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("MapInPandas") == 2  # corpus assignment + query probes
+    rows = {tuple(r) for r in df.collect()}
+    assert len(rows) == 4 * 3
+
+
 def test_kmeans_codebook_recall_uplift(spark):
     """VERDICT r2 item 4: the Lloyd codebook must beat the md5 seed
     sample at equal n_probe. The seed sample gives no spread guarantee —
