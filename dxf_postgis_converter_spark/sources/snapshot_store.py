@@ -33,9 +33,9 @@ matters at 100 TB:
   points at v's file set (history is never rewritten);
   ``expire_snapshots(keep_last=)`` deletes manifests and
   no-longer-referenced data files.
-- **Catalog RENAME.** :class:`Catalog` maps table names to paths in one
-  atomically-replaced JSON, mirroring the reference's layer-table
-  rename-on-reconcile.
+- **Catalog RENAME.** :class:`Catalog` maps table names to paths in a
+  claim-by-version JSON (same ``os.link`` optimistic commit as table
+  manifests), mirroring the reference's layer-table rename-on-reconcile.
 
 Swapping to real Iceberg is mechanical: ``commit`` → ``MERGE INTO`` /
 ``overwritePartitions``, ``read(version)`` → ``VERSION AS OF``,
@@ -187,16 +187,24 @@ class SnapshotTable:
         return entries
 
     def _commit(self, files: list[dict], operation: str,
-                schema_json: dict, expected_parent: int | None) -> int:
+                schema_json: dict, expected_parent: int | None,
+                stream_batch: int | None = None) -> int:
         """Claim the next version atomically. ``expected_parent`` pins the
         snapshot this commit was planned against — a mismatch at claim
-        time means a concurrent writer won and the plan is stale."""
+        time means a concurrent writer won and the plan is stale.
+
+        Every manifest carries ``max_stream_batch`` forward from its
+        parent (the high-water mark of committed foreachBatch epoch ids),
+        so stream replay dedup survives ``expire_snapshots`` — the dedup
+        no longer depends on retained history (ADVICE r5)."""
         os.makedirs(self._snap_dir, exist_ok=True)
         head = self.current_version()
         if head != expected_parent:
             raise CommitConflict(
                 f"planned against v{expected_parent}, head is v{head}")
         version = 0 if head is None else head + 1
+        prev_batch = -1 if head is None else \
+            self._manifest(head).get("max_stream_batch", -1)
         manifest = {
             "version": version,
             "snapshot_id": uuid.uuid4().hex,
@@ -205,6 +213,8 @@ class SnapshotTable:
             "committed_at": time.time(),
             "schema": schema_json,
             "files": files,
+            "max_stream_batch": prev_batch if stream_batch is None
+            else max(prev_batch, int(stream_batch)),
         }
         tmp = os.path.join(self._snap_dir, f".tmp-{manifest['snapshot_id']}.json")
         with open(tmp, "w") as f:
@@ -244,6 +254,26 @@ class SnapshotTable:
             + ("" if allow_new_columns else
                " (pass allow_new_columns=True for additive evolution)"))
 
+    def _refresh_schema(self, schema_json: dict) -> dict:
+        """Re-validate a PLANNED schema against the current head before a
+        (re)try commits it. ADVICE r5 (medium): a concurrent commit may
+        have additively evolved the table between plan time and the
+        retry — recording the stale pre-evolution schema would make
+        read() (which plans from the head schema) silently hide the new
+        column. The head schema wins field order; fields only this write
+        carries are appended (its own additive evolution); staged files
+        missing head columns read through the wider schema as NULL."""
+        cur = self.current_version()
+        if cur is None:
+            return schema_json
+        existing = self._manifest(cur)["schema"]
+        have = {f["name"] for f in existing["fields"]}
+        writing = {f["name"] for f in schema_json["fields"]}
+        if writing <= have:
+            return existing
+        new = [f for f in schema_json["fields"] if f["name"] not in have]
+        return {**existing, "fields": existing["fields"] + new}
+
     def append(self, df: DataFrame, _retries: int = 3,
                allow_new_columns: bool = False) -> int:
         """Append-only commit (retries transparently on conflict — an
@@ -258,7 +288,7 @@ class SnapshotTable:
             carried = [] if head is None else self._manifest(head)["files"]
             try:
                 return self._commit(carried + new_files, "append",
-                                    schema_json, head)
+                                    self._refresh_schema(schema_json), head)
             except CommitConflict:
                 if attempt == _retries:
                     raise
@@ -272,12 +302,25 @@ class SnapshotTable:
         — Iceberg's streaming epoch-id commit dedup. Returns the committed
         version, or None when this batch id already has a snapshot.
 
+        Dedup is primarily the head manifest's ``max_stream_batch``
+        high-water mark (carried forward by EVERY commit), so it survives
+        ``expire_snapshots`` (ADVICE r5: the old operation-string scan
+        forgot batches once their snapshots were expired and a replay
+        re-appended duplicate rows). Structured Streaming epoch ids are
+        strictly increasing per query — one streaming sink per table, as
+        the high-water mark dedups by ≤. The operation-string scan stays
+        as a belt-and-braces check over retained history.
+
         Concurrent replays of the SAME batch are safe: the loser's
         ``CommitConflict`` triggers a re-check, finds the winner's
         snapshot, drops its own staged files, and skips."""
         op = f"stream-append:batch={int(batch_id)}"
 
         def committed() -> bool:
+            head = self.current_version()
+            if head is not None and int(batch_id) <= \
+                    self._manifest(head).get("max_stream_batch", -1):
+                return True
             return any(self._manifest(v)["operation"] == op
                        for v in self._versions())
 
@@ -307,7 +350,8 @@ class SnapshotTable:
             carried = [] if head is None else self._manifest(head)["files"]
             try:
                 return self._commit(carried + new_files, op,
-                                    schema_json, head)
+                                    self._refresh_schema(schema_json), head,
+                                    stream_batch=int(batch_id))
             except CommitConflict:
                 if attempt == _retries:
                     if committed():
@@ -485,82 +529,142 @@ class SnapshotTable:
                     shutil.rmtree(d)
         return {"removed_files": removed}
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_s: float = 3600.0) -> dict:
         """Drop all but the newest ``keep_last`` manifests and delete data
         files no surviving snapshot references (plus orphaned staging
-        files from crashed writers)."""
+        files from crashed writers).
+
+        Files referenced only by the DROPPED manifests are history and
+        deleted immediately. Files referenced by NO manifest at all get
+        the same ``older_than_s`` mtime guard as ``remove_orphan_files``
+        — ADVICE r5 (medium): a concurrent writer between ``_stage_files``
+        and ``_commit`` has exactly such files, and deleting them would
+        let its ``os.link`` commit succeed while pointing at vanished
+        parquet — a torn table, the one thing the format promises away."""
         vs = self._versions()
         keep, drop = vs[-keep_last:], vs[:-keep_last]
         live = set()
         for v in keep:
             live.update(f["path"] for f in self._manifest(v)["files"])
+        dropped_refs = set()
+        for v in drop:
+            dropped_refs.update(f["path"] for f in self._manifest(v)["files"])
+        dropped_refs -= live
         removed_files = 0
+        now = time.time()
         if os.path.isdir(self._data_dir):
             for sub in os.listdir(self._data_dir):
                 d = os.path.join(self._data_dir, sub)
                 for f in os.listdir(d):
-                    rel = os.path.relpath(os.path.join(d, f), self.path)
-                    if f.endswith(".parquet") and rel not in live:
-                        os.unlink(os.path.join(d, f))
+                    full = os.path.join(d, f)
+                    rel = os.path.relpath(full, self.path)
+                    if not f.endswith(".parquet") or rel in live:
+                        continue
+                    if rel in dropped_refs \
+                            or now - os.path.getmtime(full) >= older_than_s:
+                        os.unlink(full)
                         removed_files += 1
                 if not any(x.endswith(".parquet") for x in os.listdir(d)):
                     shutil.rmtree(d)
         for v in drop:
             os.unlink(os.path.join(self._snap_dir, f"v{v}.json"))
         # a writer that crashed between manifest write and claim leaves a
-        # .tmp-*.json behind (the claim's finally never ran) — sweep them
+        # .tmp-*.json behind (the claim's finally never ran) — sweep the
+        # aged ones (same guard: a young .tmp may be mid-claim)
         for f in os.listdir(self._snap_dir) if os.path.isdir(self._snap_dir) else []:
-            if f.startswith(".tmp-"):
-                os.unlink(os.path.join(self._snap_dir, f))
+            full = os.path.join(self._snap_dir, f)
+            if f.startswith(".tmp-") \
+                    and now - os.path.getmtime(full) >= older_than_s:
+                os.unlink(full)
         return {"expired_snapshots": len(drop), "removed_files": removed_files}
 
 
 class Catalog:
     """Name → table-path mapping with atomic RENAME (the reference's
     layer-table ``rename_table`` on reconcile, import_use_case.py:392-417).
-    One JSON file, replaced atomically — on a lakehouse this is the REST/
-    Hive catalog's job."""
+
+    Mutations use the SAME claim-by-version ``os.link`` pattern as table
+    manifests (ADVICE r5: the old single-file read-modify-write lost one
+    of two concurrent creates — last save wins — stranding a table's data
+    directory): the catalog is ``_catalog/v{N}.json``, a mutation claims
+    v{N+1}, and a lost claim reloads + revalidates + retries, so
+    concurrent creates/renames of DIFFERENT names all land and same-name
+    races surface as the normal exists/missing errors. On a lakehouse
+    this is the REST/Hive catalog's job."""
+
+    _RETRIES = 16
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
-        self._path = os.path.join(warehouse, "_catalog.json")
+        self._dir = os.path.join(warehouse, "_catalog")
+        self._legacy = os.path.join(warehouse, "_catalog.json")
 
-    def _load(self) -> dict:
-        if not os.path.exists(self._path):
-            return {}
-        with open(self._path) as f:
-            return json.load(f)
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._dir):
+            return []
+        return sorted(int(m.group(1)) for f in os.listdir(self._dir)
+                      if (m := _MANIFEST_RE.match(f)))
 
-    def _save(self, tables: dict) -> None:
-        os.makedirs(self.warehouse, exist_ok=True)
-        tmp = self._path + f".tmp-{uuid.uuid4().hex}"
+    def _load(self) -> tuple[dict, int | None]:
+        vs = self._versions()
+        if vs:
+            with open(os.path.join(self._dir, f"v{vs[-1]}.json")) as f:
+                return json.load(f), vs[-1]
+        if os.path.exists(self._legacy):  # pre-r6 single-file layout
+            with open(self._legacy) as f:
+                return json.load(f), None
+        return {}, None
+
+    def _save(self, tables: dict, expected: int | None) -> None:
+        """Claim version expected+1 atomically; raises CommitConflict when
+        another mutation claimed it first (caller reloads and retries)."""
+        os.makedirs(self._dir, exist_ok=True)
+        version = 0 if expected is None else expected + 1
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(tables, f)
-        os.replace(tmp, self._path)
+        try:
+            os.link(tmp, os.path.join(self._dir, f"v{version}.json"))
+        except FileExistsError as e:
+            raise CommitConflict(f"lost catalog race for v{version}") from e
+        finally:
+            os.unlink(tmp)
 
     def create(self, name: str) -> SnapshotTable:
-        tables = self._load()
-        if name in tables:
-            raise ValueError(f"table {name!r} exists")
-        tables[name] = os.path.join(self.warehouse, uuid.uuid4().hex)
-        self._save(tables)
-        return SnapshotTable(self.spark, tables[name])
+        for _ in range(self._RETRIES):
+            tables, head = self._load()
+            if name in tables:
+                raise ValueError(f"table {name!r} exists")
+            path = os.path.join(self.warehouse, uuid.uuid4().hex)
+            try:
+                self._save({**tables, name: path}, head)
+                return SnapshotTable(self.spark, path)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"create {name!r}: catalog contention")
 
     def load(self, name: str) -> SnapshotTable:
-        tables = self._load()
+        tables, _ = self._load()
         if name not in tables:
             raise KeyError(f"no table {name!r}")
         return SnapshotTable(self.spark, tables[name])
 
     def rename(self, old: str, new: str) -> None:
-        tables = self._load()
-        if old not in tables:
-            raise KeyError(f"no table {old!r}")
-        if new in tables:
-            raise ValueError(f"table {new!r} exists")
-        tables[new] = tables.pop(old)  # data never moves — pointer-only op
-        self._save(tables)
+        for _ in range(self._RETRIES):
+            tables, head = self._load()
+            if old not in tables:
+                raise KeyError(f"no table {old!r}")
+            if new in tables:
+                raise ValueError(f"table {new!r} exists")
+            tables[new] = tables.pop(old)  # data never moves — pointer-only
+            try:
+                self._save(tables, head)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"rename {old!r}->{new!r}: catalog contention")
 
     def tables(self) -> dict:
-        return dict(self._load())
+        return self._load()[0]

@@ -114,11 +114,35 @@ def test_rollback_and_expire(table, spark):
     # a crashed writer's orphan tmp manifest is swept too
     orphan = os.path.join(table._snap_dir, ".tmp-deadbeef.json")
     open(orphan, "w").write("{}")
-    rep = table.expire_snapshots(keep_last=1)
+    rep = table.expire_snapshots(keep_last=1, older_than_s=0.0)
     assert rep["expired_snapshots"] == 2
     assert n_parquet() < before
     assert not os.path.exists(orphan)
     assert {r["doc_id"] for r in table.read().collect()} == {"docA"}
+
+
+def test_expire_spares_fresh_unreferenced_files(table, spark):
+    """ADVICE r5 (medium): a concurrent writer between _stage_files and
+    _commit owns parquet files no manifest references YET. expire must
+    apply the remove_orphan_files age guard to those (while files
+    referenced only by the dropped manifests delete immediately) — else
+    the racer's os.link commit succeeds pointing at vanished files."""
+    table.append(_ents(spark, "docA", "L1", ["a"]))
+    table.overwrite(_ents(spark, "docB", "L1", ["b"]))
+    # simulate the racer: staged-but-uncommitted fresh parquet
+    staged_dir = os.path.join(table._data_dir, "racer")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-0.parquet")
+    open(staged, "wb").write(b"x")
+    rep = table.expire_snapshots(keep_last=1)  # default 1h age guard
+    # v0's file (referenced only by the dropped manifest) is gone...
+    assert rep["expired_snapshots"] == 1 and rep["removed_files"] >= 1
+    # ...but the fresh unreferenced staging file survived
+    assert os.path.exists(staged)
+    # aged out, it goes the way of any orphan
+    os.utime(staged, (1, 1))
+    table.expire_snapshots(keep_last=1, older_than_s=0.0)
+    assert not os.path.exists(staged)
 
 
 def test_schema_mismatch_rejected(table, spark):
@@ -354,6 +378,54 @@ def test_concurrent_same_batch_stream_appends_dedupe(spark, tmp_path):
     referenced = {p for v in t._versions()
                   for p in (f["path"] for f in t._manifest(v)["files"])}
     assert on_disk == referenced
+
+
+def test_catalog_concurrent_creates_all_land(spark, tmp_path):
+    """ADVICE r5: two concurrent creates must BOTH land (the old
+    read-modify-write silently lost one — last save wins — leaving that
+    table's data directory unreachable)."""
+    import threading
+
+    from dxf_postgis_converter_spark.sources.snapshot_store import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    errors = []
+
+    def worker(i):
+        try:
+            cat.create(f"t{i}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert set(cat.tables()) == {f"t{i}" for i in range(6)}
+    # duplicate create still rejected; rename contract intact
+    with pytest.raises(ValueError, match="exists"):
+        cat.create("t0")
+    cat.rename("t0", "t9")
+    assert "t9" in cat.tables() and "t0" not in cat.tables()
+
+
+def test_stream_batch_dedup_survives_expiry(spark, tmp_path):
+    """ADVICE r5: replay dedup must not depend on retained history — the
+    max_stream_batch high-water mark rides EVERY manifest, so a replay of
+    a batch whose snapshot was expired (and even after later non-stream
+    commits) is still skipped."""
+    t = SnapshotTable(spark, str(tmp_path / "ledger"))
+    assert t.append_stream_batch(_ents(spark, "d0", "L0", ["a"]), batch_id=0) is not None
+    assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is not None
+    t.expire_snapshots(keep_last=1, older_than_s=0.0)
+    assert t.append_stream_batch(_ents(spark, "d0", "L0", ["a"]), batch_id=0) is None
+    assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is None
+    t.append(_ents(spark, "d2", "L0", ["c"]))  # non-stream commit carries the mark
+    assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is None
+    assert t.append_stream_batch(_ents(spark, "d3", "L0", ["d"]), batch_id=2) is not None
+    assert t.read().count() == 4  # a, b, c, d — each exactly once
 
 
 def test_changes_from_expired_base_fails_loudly(table, spark):
