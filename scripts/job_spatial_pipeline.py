@@ -7,9 +7,11 @@ executors). scripts/submit.sh builds the zip and invokes spark-submit;
 the same command line works unchanged against a cluster master.
 
 Stages (each lineage-checkpointed, idempotently resumable):
-  decode   documents → entities parquet
-  pip      entities(points) ⋈ zones → per-zone counts
-  tiles    tile pyramid z8→z4
+  decode         documents → entities parquet
+  pip            entities(points) ⋈ zones → per-zone counts
+  tiles          tile pyramid z8→z4
+  export         every document back out as real .dxf bytes
+  contamination  13-gram benchmark-contamination sweep over doc text
 
 Prints one JSON line per stage + a final summary line.
 """
@@ -103,9 +105,36 @@ def main() -> None:
                       "skipped": int(ex["skipped"] or 0),
                       "bytes": int(ex["bytes"] or 0)}))
 
+    # benchmark contamination (GPT-3 13-gram rule) over the documents'
+    # concatenated text spans: the benchmark side is derived 13-token
+    # slices of a doc subset, so flags exist by construction and the
+    # stage exercises the broadcast gram join end-to-end
+    from dxf_postgis_converter_spark.functions.text import normalize_text
+    from dxf_postgis_converter_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    txt = docs.select("doc_id", F.array_join(F.transform(
+        F.filter("spans", lambda s: s["kind"] == "text"),
+        lambda s: s["text"]), " ").alias("text"))
+    toks = F.split(normalize_text(F.col("text")), " ")
+    bench = txt.filter(F.expr("right(doc_id, 1) = '0'")).select(
+        F.concat(F.lit("B"), F.col("doc_id")).alias("bench_id"),
+        F.array_join(F.slice(toks, 2, 13), " ").alias("text"))
+    cont = benchmark_contamination(txt, bench, n=13)
+    cont.write.mode("overwrite").parquet(os.path.join(args.out, "contamination"))
+    cs = spark.read.parquet(os.path.join(args.out, "contamination")).agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.countDistinct("bench_id").alias("bench_items")).first()
+    print(json.dumps({"stage": "contamination", "pairs": int(cs["pairs"]),
+                      "flagged_docs": int(cs["docs"]),
+                      "bench_items_hit": int(cs["bench_items"])}))
+
     print(json.dumps({"status": "ok", "entities": s1["rows"],
                       "zones_with_hits": n_zones, "tiles": n_tiles,
-                      "exported_files": ex["files"]}))
+                      "exported_files": ex["files"],
+                      "contaminated_pairs": int(cs["pairs"])}))
     spark.stop()
 
 
