@@ -295,16 +295,22 @@ def embedding_neardup_pairs(
         dim_row = emb.select(F.size(vec_col).alias("d")).first()
         rng = np.random.default_rng(1234)
         planes = rng.standard_normal((n_bands * n_planes, dim_row.d))
-
-        def _bit(i):
-            return F.when(F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(w)) for w in planes[i]]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda a, x: a + x) >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-        band_sigs = F.array(*[
-            F.concat(*[_bit(b * n_planes + i) for i in range(n_planes)])
-            for b in range(n_bands)])
+        # ONE 2-D literal + nested transform instead of b·r independent
+        # aggregate expressions each embedding its own plane literal: at
+        # d=768 the flat form is a ~75k-literal expression tree (codegen
+        # blowup / interpreted fallback); this stays one array literal
+        # and one loop regardless of b·r·d. Fold order per plane is
+        # identical, so the replica oracle is unchanged.
+        planes_lit = F.array(*[
+            F.array(*[F.lit(float(w)) for w in row]) for row in planes])
+        bits = F.transform(planes_lit, lambda p: F.when(
+            F.aggregate(F.zip_with(F.col(vec_col), p, lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x) >= 0,
+            F.lit("1")).otherwise(F.lit("0")))
+        band_sigs = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.array_join(F.slice(bits, b * n_planes + F.lit(1),
+                                           n_planes), ""))
         es = e.select(F.col(id_col),
                       F.posexplode(band_sigs).alias("_band", "_sig"))
         sizes = es.groupBy("_band", "_sig").count()
