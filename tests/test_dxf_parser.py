@@ -286,6 +286,35 @@ BLOCK_DEFS = {
 }
 
 
+def test_multileader_context_edge_shapes_roundtrip():
+    """The flat LEADER{}/LEADER_LINE{} group encoding round-trips exactly
+    even when leader_properties and leader_lines have DIFFERENT lengths
+    (a nested one-line-per-leader encoding cannot represent that), plus
+    empty-list / sparse-property corners."""
+    cases = [
+        {"text": "", "base_point": [0.0, 0.0, 0.0],
+         "leader_lines": [], "leader_properties": []},
+        # more props than lines
+        {"text": "p>l", "base_point": [1.0, 2.0, 0.0],
+         "leader_lines": [[[0.0, 0.0, 0.0], [1.0, 1.0, 0.0]]],
+         "leader_properties": [{"dogleg_length": 1.5}, {}, {"attachment_direction": 2}]},
+        # more lines than props; sparse prop fields
+        {"text": "l>p", "base_point": [0.0, 0.0, 5.0],
+         "leader_lines": [[[1.0, 1.0, 1.0]], [], [[2.0, 2.0, 0.0], [3.0, 3.0, 0.0]]],
+         "leader_properties": [{"has_dogleg_vector": False,
+                                "last_leader_point": [9.0, 9.0, 9.0]}],
+         "char_height": 0.5},
+    ]
+    snaps = [_tuple("MULTILEADER", c, f"A{i}", "0")
+             for i, c in enumerate(cases)]
+    _styles, parsed, _blocks = parse_dxf(write_dxf(snaps))
+    assert len(parsed) == len(snaps)
+    for (_, _, want, _, _), (_, _, got, _, _) in zip(snaps, parsed):
+        for key in ("text", "base_point", "leader_lines", "leader_properties"):
+            assert got[key] == want[key], key
+        assert got.get("char_height") == want.get("char_height")
+
+
 def test_roundtrip_all_types_byte_equal_spans():
     """parse(write(x)) must reproduce x exactly where it matters: the
     canonical media_ref payloads (attributes + extra_data + geometries +

@@ -91,6 +91,39 @@ def test_minhash_pairs_partitioning_invariant(spark):
         assert got == base
 
 
+def test_contamination_partitioning_invariant(spark):
+    base_txt = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"PAD{i} " + base_txt + f" TAIL{i}") for i in range(6)]
+        + [("clean", "nothing shared here at all in any way whatsoever "
+                     "with the benchmark texts of this test case")],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("long", " ".join(base_txt.split()[:13])),   # 13-gram item
+         ("short", " ".join(base_txt.split()[3:8]))],  # 5-token item
+        "bench_id string, text string")
+    from dxf_postgis_converter_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    base = _multiset(benchmark_contamination(docs, bench, n=13))
+    assert sum(base.values()) == 12  # 6 padded docs × 2 bench items
+    for layout in LAYOUTS:
+        got = _multiset(benchmark_contamination(layout(docs), bench, n=13))
+        assert got == base
+
+
+def test_export_reingest_partitioning_invariant(docs_df):
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        export_reingest_spans,
+    )
+    base = _multiset(export_reingest_spans(docs_df))
+    assert sum(base.values()) > 0
+    for layout in LAYOUTS:
+        got = _multiset(export_reingest_spans(layout(docs_df)))
+        assert got == base
+
+
 def test_tile_pyramid_partitioning_invariant(entities_df):
     base = _multiset(tile_pyramid_counts(entities_df, z_max=6, z_min=3))
     assert sum(base.values()) > 0
