@@ -69,6 +69,23 @@ geometry = st.one_of(
         st.lists(vec, min_size=1, max_size=6),
         st.lists(st.lists(st.integers(0, 5), min_size=3, max_size=4),
                  max_size=4)),
+    st.builds(lambda bp, t, lines, props, ch: _snap(
+        "MULTILEADER",
+        dict({"text": t, "base_point": bp, "leader_lines": lines,
+              "leader_properties": props},
+             **({} if ch is None else {"char_height": ch}))),
+        vec,
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=30),
+        st.lists(st.lists(vec, max_size=4), max_size=3),
+        st.lists(st.fixed_dictionaries({}, optional={
+            "attachment_direction": st.integers(0, 2),
+            "dogleg_length": fin,
+            "dogleg_vector": vec,
+            "last_leader_point": vec,
+            "has_horizontal_attachment": st.booleans(),
+            "has_dogleg_vector": st.booleans()}), max_size=3),
+        st.one_of(st.none(), fin)),
 )
 
 
