@@ -218,3 +218,21 @@ def test_export_and_roundtrip_plans_single_python_stage(spark, docs_df, tmp_path
     docs_df.write.parquet(pq)
     plan_pq = plan_of(export_roundtrip_report(spark.read.parquet(pq)))
     assert "ReadSchema: struct<doc_id:string,spans:array" in plan_pq
+
+
+def test_banded_embedding_lsh_plan(spark):
+    """r6 banded LSH: the candidate search is bucket equi-joins — never a
+    cartesian product — with the hot-bucket cap as a broadcast anti-join
+    (minhash's shape), and the whole signature tower is JVM expressions
+    (no Python stage anywhere in the pair plan)."""
+    from dxf_postgis_converter_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(12)],
+        "vec_id bigint, embedding array<double>")
+    simple = plan_of(embedding_neardup_pairs(emb, threshold=0.9), "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "LeftAnti" in simple, simple[:1500]  # hot-bucket cap
+    assert "BatchEvalPython" not in simple and "MapInPandas" not in simple
