@@ -35,6 +35,17 @@ _SNAPS = [
      {"layer": "C", "name": "BLK", "insert": [9.0, 9.0, 0.0],
       "block_name": "BLK", "block_entities": [], "insert_attribs": []},
      "14", "C"),
+    # r6: the MULTILEADER context groups (300/301/302/303/304/305 marker
+    # state machine) are prime mutation-fuzz territory — dropped or
+    # reordered markers must degrade, never hang or throw
+    ("MULTILEADER", {"layer": "C"},
+     {"layer": "C", "text": "note", "base_point": [1.0, 2.0, 0.0],
+      "char_height": 1.5,
+      "leader_lines": [[[0.0, 0.0, 0.0], [4.0, 2.0, 0.0]]],
+      "leader_properties": [{"attachment_direction": 1,
+                             "dogleg_length": 2.0,
+                             "dogleg_vector": [1.0, 0.0, 0.0]}]},
+     "15", "C"),
 ]
 _BASE = write_dxf(_SNAPS)
 _LINES = _BASE.splitlines()
