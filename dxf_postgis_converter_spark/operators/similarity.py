@@ -238,7 +238,14 @@ def ivf_topk(
     driver_query_limit rows. Both paths produce IDENTICAL rows (A/B
     pinned in test_similarity). Recall < 1 by construction
     (cluster-boundary misses), measured in tests; raise n_probe for
-    recall, n_centroids for selectivity."""
+    recall, n_centroids for selectivity.
+
+    SIZING (either path): the candidate join materializes
+    ≈ |queries|·n_probe·|corpus|/n_centroids rows — n_centroids must
+    scale with |queries|·|corpus| (the classic C ≈ O(√N) rule, and
+    more when the query set is large). Measured: 10k×200k at C=512 is
+    a 16M-row join (~56s local[32]); the same at C=64 is 625M rows
+    (~375 GB shuffle) and spills a single box to death."""
     spark = emb.sparkSession
     if centroids is None:
         centroids = kmeans_centroids(emb, n_centroids, id_col, vec_col)
