@@ -405,8 +405,14 @@ def _b_multileader(body):
             cur_prop = None
             continue
         if c == 304:
-            cur_line, cur_prop = [], None
-            d["leader_lines"].append(cur_line)
+            if v == "LEADER_LINE{":
+                cur_line, cur_prop = [], None
+                d["leader_lines"].append(cur_line)
+            elif cur_line is None and cur_prop is None and not d["text"]:
+                # real AutoCAD files carry the mtext content as context
+                # code 304 ("Default text content"); our writer uses the
+                # unambiguous code 1, but ingest accepts both
+                d["text"] = str(v)
             continue
         if c == 305:
             cur_line = None

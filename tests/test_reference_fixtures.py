@@ -1,0 +1,103 @@
+"""Parity against the reference repo's OWN fixture drawings — real
+AutoCAD-produced files (dxf_examples/ex1-3.dxf), not synthetic corpus
+data. These are the inputs the reference's integration suite runs on
+(tests/test_integration.py:36-39), so matching their measured content
+is direct evidence the pure-Python tag codec ingests what the
+reference ingests:
+
+- entity-type histograms equal the measured content recorded in
+  SURVEY §5 (ex3's MULTILEADERs include the Cyrillic mtext content and
+  real dogleg/leader-line context data);
+- the full span pipeline (extraction rules, ByLayer snapshots, INSERT
+  block closure) is live on every entity;
+- write→parse is a FIXED POINT on real data: re-serializing the parsed
+  snapshots through our own writer reproduces every media_ref byte.
+
+Read-only: fixtures are consumed in place from /root/reference (data,
+not code); every test skips when that tree is absent.
+"""
+
+import collections
+import os
+
+import pytest
+
+from dxf_postgis_converter_spark.sources.dxf_files import (
+    spans_from_entity_snapshots,
+)
+from dxf_postgis_converter_spark.sources.dxf_parser import parse_dxf, write_dxf
+
+_EXAMPLES = "/root/reference/dxf_examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_EXAMPLES), reason="reference fixtures not present")
+
+# measured content of the ENTITIES section (SURVEY §5 records the same
+# histograms, modulo its explicitly-approximate ex3 note which omits
+# the 3 ARCs)
+_EXPECT = {
+    "ex1": {"LWPOLYLINE": 82, "LINE": 32, "ARC": 27, "CIRCLE": 5, "SPLINE": 4},
+    "ex2": {"SPLINE": 45},
+    "ex3": {"TEXT": 1445, "POINT": 1294, "LWPOLYLINE": 407, "CIRCLE": 207,
+            "INSERT": 181, "LINE": 28, "MULTILEADER": 18, "ARC": 3,
+            "3DSOLID": 1},
+}
+
+
+def _load(ex):
+    with open(os.path.join(_EXAMPLES, f"{ex}.dxf"),
+              encoding="utf-8", errors="replace") as f:
+        return parse_dxf(f.read())
+
+
+@pytest.mark.parametrize("ex", sorted(_EXPECT))
+def test_fixture_entity_histogram(ex):
+    _styles, snaps, _blocks = _load(ex)
+    got = collections.Counter(s[0] for s in snaps)
+    assert dict(got) == _EXPECT[ex]
+
+
+@pytest.mark.parametrize("ex", sorted(_EXPECT))
+def test_fixture_spans_live_and_writer_fixed_point(ex):
+    styles, snaps, blocks = _load(ex)
+    spans1 = spans_from_entity_snapshots(snaps, styles, blocks)
+    assert len(spans1) == sum(_EXPECT[ex].values())
+    assert all(s["media_ref"] for s in spans1)
+    styles2, snaps2, blocks2 = parse_dxf(write_dxf(snaps, styles, blocks))
+    spans2 = spans_from_entity_snapshots(snaps2, styles2, blocks2)
+    assert [s["media_ref"] for s in spans2] == [s["media_ref"] for s in spans1]
+
+
+def test_ex3_multileader_context_from_real_file():
+    """The 18 real MULTILEADERs carry their Cyrillic mtext content (code
+    304 'Default text content'), leader-line vertices, and dogleg
+    properties — the context data the reference's visual-signature test
+    asserts on (test_integration.py:802-913)."""
+    _styles, snaps, _blocks = _load("ex3")
+    mls = [s[2] for s in snaps if s[0] == "MULTILEADER"]
+    assert len(mls) == 18
+    texts = [g.get("text", "") for g in mls]
+    assert sum(bool(t) for t in texts) == 18
+    assert any(t.startswith("т.") for t in texts)  # Cyrillic labels
+    with_lines = [g for g in mls
+                  if any(len(line) > 0 for line in g.get("leader_lines", []))]
+    assert len(with_lines) >= 15
+    props = [p for g in mls for p in g.get("leader_properties", [])]
+    assert any("dogleg_vector" in p and "dogleg_length" in p for p in props)
+
+
+def test_ex3_layer_table_and_blocks():
+    """Russian-named layer styles and the BLOCKS section survive: the
+    INSERTs' block closure resolves against real block definitions."""
+    import json
+
+    styles, snaps, blocks = _load("ex3")
+    assert len(blocks) >= 20
+    assert len({s[4] for s in snaps}) >= 25  # entity layers in use
+    spans = spans_from_entity_snapshots(snaps, styles, blocks)
+    inserts = [json.loads(s["media_ref"]) for s in spans
+               if json.loads(s["media_ref"])["entity_type"] == "INSERT"]
+    assert len(inserts) == 181
+    resolved = [p for p in inserts
+                if p["extra_data"].get("block_entities")]
+    assert len(resolved) > 100  # most INSERTs reference a defined block
