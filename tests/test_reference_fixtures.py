@@ -86,6 +86,36 @@ def test_ex3_multileader_context_from_real_file():
     assert any("dogleg_vector" in p and "dogleg_length" in p for p in props)
 
 
+def test_fixtures_through_full_spark_ingest_and_decode(spark):
+    """End-to-end S1 on real files: binaryFile scan → tag-codec span
+    extraction → Arrow-batched decode. Every one of the 3779 real
+    entities decodes with NO error rows, and the geometry-kind split is
+    sane (points/lines/polygons all present)."""
+    from pyspark.sql import functions as F
+
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.sources.dxf_files import (
+        dxf_files_to_documents, scan_dxf_files,
+    )
+
+    files = scan_dxf_files(spark, _EXAMPLES)
+    docs = dxf_files_to_documents(files)
+    assert docs.count() == 3
+    ents = decode_documents(docs).cache()
+    try:
+        assert ents.count() == sum(sum(v.values()) for v in _EXPECT.values())
+        assert ents.filter("error is not null").count() == 0
+        kinds = {r["geom_type"] for r in
+                 ents.select("geom_type").distinct().collect()}
+        assert {"POINT", "LINESTRING", "POLYGON"} <= kinds
+        by_type = {r["entity_type"]: r["n"] for r in
+                   ents.groupBy("entity_type").agg(
+                       F.count("*").alias("n")).collect()}
+        assert by_type["MULTILEADER"] == 18 and by_type["TEXT"] == 1445
+    finally:
+        ents.unpersist()
+
+
 def test_ex3_layer_table_and_blocks():
     """Russian-named layer styles and the BLOCKS section survive: the
     INSERTs' block closure resolves against real block definitions."""
