@@ -371,7 +371,14 @@ class SnapshotTable:
     def merge(self, source: DataFrame, mode: ImportMode) -> int:
         """Copy-on-write MERGE: apply an import-mode (J5-J7 set algebra)
         rewriting ONLY the data files whose doc_id stats intersect the
-        source's documents; all other files carry over by reference."""
+        source's documents; all other files carry over by reference.
+
+        File pruning is a broadcast RANGE JOIN of the (small, driver-
+        known) manifest stat ranges against the source's distinct doc
+        ids — the driver collects only the TOUCHED FILE INDICES, bounded
+        by manifest size, never the doc-id set itself (a 10^6-document
+        import would otherwise pull 10^6 ids into a driver list and
+        check them in an O(files × docs) Python loop)."""
         head = self.current_version()
         if head is None:
             return self.append(source)
@@ -379,15 +386,36 @@ class SnapshotTable:
         schema_json = self._schema_json(source)
         cols = [f["name"] for f in schema_json["fields"]]
 
-        src_docs = sorted(
-            r[0] for r in source.select(_STAT_COL).distinct().collect())
-        touched, carried = [], []
-        for f in manifest["files"]:
-            lo, hi = f["stat_min"], f["stat_max"]
-            if lo is None or any(lo <= d <= hi for d in src_docs):
-                touched.append(f)
-            else:
-                carried.append(f)
+        ranges = [(i, f["stat_min"], f["stat_max"])
+                  for i, f in enumerate(manifest["files"])
+                  if f["stat_min"] is not None]
+        # files without stats are always rewritten (unpruned, correct)
+        touched_idx = {i for i, f in enumerate(manifest["files"])
+                       if f["stat_min"] is None}
+        if ranges:
+            rdf = self.spark.createDataFrame(
+                [(i, lo, hi) for i, lo, hi in ranges],
+                StructType.fromJson({"type": "struct", "fields": [
+                    {"name": "_idx", "type": "integer", "nullable": False,
+                     "metadata": {}},
+                    {"name": "_lo", "type": next(
+                        f["type"] for f in schema_json["fields"]
+                        if f["name"] == _STAT_COL), "nullable": True,
+                     "metadata": {}},
+                    {"name": "_hi", "type": next(
+                        f["type"] for f in schema_json["fields"]
+                        if f["name"] == _STAT_COL), "nullable": True,
+                     "metadata": {}}]}))
+            hits = (source.select(_STAT_COL).distinct()
+                    .join(F.broadcast(rdf),
+                          (F.col(_STAT_COL) >= F.col("_lo"))
+                          & (F.col(_STAT_COL) <= F.col("_hi")))
+                    .select("_idx").distinct().collect())
+            touched_idx |= {r[0] for r in hits}
+        touched = [f for i, f in enumerate(manifest["files"])
+                   if i in touched_idx]
+        carried = [f for i, f in enumerate(manifest["files"])
+                   if i not in touched_idx]
 
         if touched:
             tdf = self.spark.read.schema(
