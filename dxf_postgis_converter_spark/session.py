@@ -40,6 +40,14 @@ def get_spark(
         # from saturating in both directions at once — the PythonRunner
         # flow-control deadlock documented in operators/spatial_join.py
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "16777216")
+        # interleaved documents carry ~100KB span arrays per row: the
+        # stock 4096-row vectorized-reader batch reserves 100s of MB of
+        # contiguous heap PER TASK on such columns, and a few overlapping
+        # scans at local[32] OOM the JVM (observed r6: sf0.4 contamination
+        # stage, three concurrent documents scans). 512 rows ≈ tens of MB
+        # per task on blob columns, unnoticeable on narrow ones.
+        .config("spark.sql.parquet.columnarReaderBatchSize",
+                os.environ.get("SPARK_GRAFT_READER_BATCH", "512"))
         # 32m, not the stock 128m: scan partitions feed Arrow→Python
         # stages, so a stage needs ≥3-4 waves of tasks per core for
         # straggler smoothing. Spark's split formula (totalBytes /

@@ -27,5 +27,6 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-32}" \
+  --conf spark.sql.parquet.columnarReaderBatchSize="${READER_BATCH:-512}" \
   --py-files "$ZIP" \
   "$REPO/scripts/job_spatial_pipeline.py" --sf "$SF" --out "$OUT" "$@"
