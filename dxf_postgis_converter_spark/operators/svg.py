@@ -4,14 +4,29 @@ string — the reference does this with the ezdxf drawing addon
 geometry → SVG path text from the WKB we already carry, so it needs no
 graphics library and stays fully distributed
 (groupBy(doc_id).applyInPandas — one SVG per document, like S12).
+
+Style fidelity (r6): every mark carries its EFFECTIVE color, resolved
+with the reference's rules (ezdxf rendering semantics the add-on
+applies): explicit true_color (24-bit RGB) wins; else the entity's ACI,
+with 256 = ByLayer resolving through the entity's stored
+layer_dxf_attribs snapshot (operators/styles.py carries the same rule
+column-side) and 0 = ByBlock falling back to 7. The exact ACI is also
+embedded as a ``data-aci`` attribute, so previews are style-auditable
+even where the palette is approximate: indices 1-9 and the 250-255
+grey ramp use the universally published values; the 10-249 chromatic
+block is this engine's deterministic hue-grid rendering of AutoCAD's
+documented 24-hue × 5-lightness × saturated/dim layout (visual
+approximation — the authoritative datum is data-aci, which IS exact).
 """
 
 from __future__ import annotations
 
+import colorsys
+import json
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..geometry.wkb import LINESTRING_Z, MULTIPOLYGON_Z, POINT_Z, POLYGON_Z, parse_wkb
@@ -22,33 +37,93 @@ SVG_SCHEMA = T.StructType([
     T.StructField("n_elements", T.IntegerType()),
 ])
 
+ACI_BYLAYER = 256
+ACI_BYBLOCK = 0
+_DEFAULT_ACI = 7
+
+# exact anchors of the public ACI palette
+_ACI_EXACT = {
+    1: "FF0000", 2: "FFFF00", 3: "00FF00", 4: "00FFFF", 5: "0000FF",
+    6: "FF00FF", 7: "FFFFFF", 8: "808080", 9: "C0C0C0",
+    250: "333333", 251: "505050", 252: "696969", 253: "828282",
+    254: "BEBEBE", 255: "FFFFFF",
+}
+_SHADE_V = (1.0, 0.8, 0.6, 0.5, 0.3)  # 5 lightness rows per hue block
+
+
+def aci_hex(aci: int) -> str:
+    """ACI → rrggbb. Exact for 1-9/250-255; deterministic hue-grid for
+    the 10-249 chromatic block (see module docstring)."""
+    if aci in _ACI_EXACT:
+        return _ACI_EXACT[aci]
+    if 10 <= aci <= 249:
+        i = aci - 10
+        hue = (i // 10) * 15.0 / 360.0
+        v = _SHADE_V[(i % 10) // 2]
+        s = 0.45 if i % 2 else 1.0
+        r, g, b = colorsys.hsv_to_rgb(hue, s, v)
+        return f"{round(r * 255):02X}{round(g * 255):02X}{round(b * 255):02X}"
+    return _ACI_EXACT[_DEFAULT_ACI]
+
+
+def effective_color(attributes: dict, extra_data: dict) -> tuple[int, str]:
+    """(effective ACI, hex) with the reference's resolution rules."""
+    tc = attributes.get("true_color")
+    if tc is not None:
+        return -1, f"{int(tc) & 0xFFFFFF:06X}"
+    aci = attributes.get("color")
+    aci = _DEFAULT_ACI if aci is None else int(aci)
+    if aci == ACI_BYLAYER:
+        layer_style = (extra_data or {}).get("layer_dxf_attribs") or {}
+        aci = layer_style.get("color")
+        aci = _DEFAULT_ACI if aci is None else int(aci)
+    if aci == ACI_BYBLOCK or not (1 <= aci <= 255):
+        aci = _DEFAULT_ACI
+    return aci, aci_hex(aci)
+
 
 def _path_d(ring: np.ndarray, close: bool) -> str:
     pts = " L ".join(f"{x:.3f} {y:.3f}" for x, y in ring[:, :2])
     return f"M {pts}" + (" Z" if close else "")
 
 
+def _style_of(row_json) -> str:
+    if row_json is None:
+        return ""
+    try:
+        d = json.loads(row_json)
+    except (TypeError, ValueError):
+        return ""
+    aci, hexc = effective_color(d.get("attributes") or {},
+                                d.get("extra_data") or {})
+    tag = "true" if aci < 0 else str(aci)
+    return f' stroke="#{hexc}" data-aci="{tag}"'
+
+
 def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:
     doc_id = pdf["doc_id"].iloc[0]
+    styles = pdf["data_json"] if "data_json" in pdf.columns \
+        else [None] * len(pdf)
     parts = []
     xs, ys = [], []
-    for wkb in pdf["geometry_wkb"]:
+    for wkb, dj in zip(pdf["geometry_wkb"], styles):
         if wkb is None:
             continue
+        st = _style_of(dj)
         code, g = parse_wkb(bytes(wkb))
         if code == POINT_Z:
             x, y = g[0, 0], g[0, 1]
-            parts.append(f'<circle cx="{x:.3f}" cy="{y:.3f}" r="0.5"/>')
+            parts.append(f'<circle cx="{x:.3f}" cy="{y:.3f}" r="0.5"{st}/>')
             xs.append(x), ys.append(y)
         elif code == LINESTRING_Z:
-            parts.append(f'<path fill="none" d="{_path_d(g, False)}"/>')
+            parts.append(f'<path fill="none" d="{_path_d(g, False)}"{st}/>')
             xs.extend(g[:, 0]), ys.extend(g[:, 1])
         elif code == POLYGON_Z:
-            parts.append(f'<path d="{_path_d(g[0], True)}"/>')
+            parts.append(f'<path d="{_path_d(g[0], True)}"{st}/>')
             xs.extend(g[0][:, 0]), ys.extend(g[0][:, 1])
         elif code == MULTIPOLYGON_Z:
             for poly in g:
-                parts.append(f'<path d="{_path_d(poly[0], True)}"/>')
+                parts.append(f'<path d="{_path_d(poly[0], True)}"{st}/>')
                 xs.extend(poly[0][:, 0]), ys.extend(poly[0][:, 1])
     if xs:
         x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
@@ -62,9 +137,15 @@ def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def svg_previews(entities: DataFrame) -> DataFrame:
-    """entities → one (doc_id, svg, n_elements) row per document."""
+    """entities → one (doc_id, svg, n_elements) row per document. When
+    the input carries ``data_json`` the marks are stroke-colored with the
+    effective (ByLayer-resolved) style; plain (doc_id, geometry_wkb)
+    inputs render unstyled, as before."""
+    cols = ["doc_id", "geometry_wkb"]
+    if "data_json" in entities.columns:
+        cols.append("data_json")
     return (
-        entities.select("doc_id", "geometry_wkb")
+        entities.select(*cols)
         .groupBy("doc_id")
         .applyInPandas(_render_one, schema=SVG_SCHEMA)
     )

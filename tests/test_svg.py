@@ -22,3 +22,34 @@ def test_svg_per_document(entities_df):
         .select("doc_id").distinct()
     rendered = out.filter(F.col("n_elements") > 0).select("doc_id")
     assert with_geom.exceptAll(rendered).count() == 0
+    # style-aware render: marks carry stroke + the exact effective ACI
+    assert all('data-aci="' in r.svg for r in rows if r.n_elements)
+
+
+def test_svg_effective_color_rules(spark):
+    """Reference resolution semantics (operators/styles.py twin):
+    true_color wins, ByLayer(256) resolves through the stored layer
+    snapshot, ByBlock(0)/absent fall back to 7; ACI anchors exact."""
+    import json
+
+    from dxf_postgis_converter_spark.operators.svg import (
+        aci_hex, effective_color,
+    )
+    assert aci_hex(1) == "FF0000" and aci_hex(5) == "0000FF"
+    assert aci_hex(254) == "BEBEBE"
+    assert effective_color({"true_color": 0x123456}, {}) == (-1, "123456")
+    assert effective_color({"color": 3}, {}) == (3, "00FF00")
+    assert effective_color({"color": 256},
+                           {"layer_dxf_attribs": {"color": 5}}) == (5, "0000FF")
+    assert effective_color({"color": 0}, {}) == (7, "FFFFFF")
+    assert effective_color({}, {}) == (7, "FFFFFF")
+
+    from dxf_postgis_converter_spark.geometry.wkb import wkb_point as _wp
+    wkb_point = _wp(1.0, 0.0, 0.0)
+    dj = json.dumps({"attributes": {"color": 256},
+                     "extra_data": {"layer_dxf_attribs": {"color": 1}}})
+    df = spark.createDataFrame(
+        [("d1", bytearray(wkb_point), dj)],
+        "doc_id string, geometry_wkb binary, data_json string")
+    svg = svg_previews(df).collect()[0].svg
+    assert 'stroke="#FF0000"' in svg and 'data-aci="1"' in svg
