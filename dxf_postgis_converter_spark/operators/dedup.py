@@ -16,6 +16,8 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -23,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import fingerprint, normalize_text
+
+_LOG = logging.getLogger(__name__)
 
 # deterministic 64-bit hash mixers (splitmix64 constants)
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -339,7 +343,8 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             bench_id_col: str = "bench_id",
                             bench_text_col: str = "text",
-                            n: int = 13) -> DataFrame:
+                            n: int = 13,
+                            min_gram_size: int = 2) -> DataFrame:
     """Training-corpus contamination against an eval benchmark: a document
     is flagged when it shares at least one word n-gram with a benchmark
     item (the GPT-3 appendix-C rule, default n=13). Returns one row per
@@ -358,12 +363,27 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     corpus is one scan + one broadcast hash join on the gram string; the
     per-pair aggregation shuffles only the (rare) collision rows. Multi-
     size doc grams come from ONE flatten/transform over the same token
-    array (still a single scan, still zero Python)."""
+    array (still a single scan, still zero Python).
+
+    Degenerate benchmark rows are DROPPED up front (``min_gram_size``,
+    default 2): an empty-text item tokenizes to a single empty string, so
+    without the guard it would register gram size 1 and explode the corpus
+    side one gram per token of every doc (ADVICE r6) — and a size-1 gram
+    is a near-stopword bucket that flags everything. The surviving size
+    list is logged, never silent: each extra distinct size multiplies the
+    corpus-side gram emit, so a pathological benchmark shows up in the
+    log instead of only in the shuffle bill (VERDICT r6 item 4)."""
+    min_gram_size = max(1, int(min_gram_size))
     bench_toks = F.split(normalize_text(F.col(bench_text_col)), " ")
+    benchmark = benchmark.filter(F.size(bench_toks) >= min_gram_size)
     sizes = sorted({n} | {
         int(r[0]) for r in benchmark.select(
             F.least(F.size(bench_toks), F.lit(n)).alias("s")).distinct().collect()
-        if r[0] is not None and r[0] > 0})
+        if r[0] is not None and r[0] >= min_gram_size})
+    _LOG.info(
+        "benchmark_contamination: corpus-side grams at %d size(s) %s "
+        "(each distinct size is one more gram emit per doc token)",
+        len(sizes), sizes)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     size_arr = F.array(*[F.lit(s) for s in sizes])
     doc_gram_arr = F.array_distinct(F.flatten(F.transform(

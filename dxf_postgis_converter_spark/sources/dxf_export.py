@@ -228,13 +228,63 @@ ROUNDTRIP_SCHEMA = T.StructType([
 # Types whose geometry is lossy across export→re-ingest BY DESIGN
 # (mirrors the reference writer): SPLINE is re-read as its flattened
 # polyline (dxf_reader.py:280), WIPEOUT has no geometry branch in
-# _apply_geometry_dict, HATCH boundaries are re-emitted as 2D polyline
-# paths (dxf_writer.py:504) so only pattern/solid/path-count survive
-# verbatim. MULTILEADER left this set in round 6: the codec now writes
-# and re-reads the full leader context (dxf_parser._b_multileader),
-# matching the reference's builder parity (dxf_writer.py:508-664,
-# signature contract test_integration.py:802-913).
-_LOSSY_GEOM = frozenset({"SPLINE", "WIPEOUT", "HATCH"})
+# _apply_geometry_dict. MULTILEADER left this set in round 6 (full
+# leader-context codec, dxf_parser._b_multileader; builder parity per
+# dxf_writer.py:508-664, test_integration.py:802-913). HATCH left it in
+# round 7: edge paths now verify value-level through the reference's
+# 6-dp signature contract (_hatch_signature below).
+_LOSSY_GEOM = frozenset({"SPLINE", "WIPEOUT"})
+
+
+def _r6(v):
+    """round-to-6-dp helper of the reference signature
+    (test_integration.py:581-584 round_num)."""
+    try:
+        return round(float(v), 6)
+    except (TypeError, ValueError):
+        return v
+
+
+def _xy(pt):
+    """2-D projection at 6 dp (test_integration.py:586-589 to_xy): the
+    writer emits HATCH boundary coordinates as 2-D pairs
+    (dxf_writer.py:476-497 analogue, dxf_parser.py HATCH branch), so z
+    is normalized away on BOTH sides of the comparison."""
+    if isinstance(pt, (list, tuple)) and len(pt) >= 2:
+        return (_r6(pt[0]), _r6(pt[1]))
+    return tuple(pt) if isinstance(pt, (list, tuple)) else (pt,)
+
+
+def _hatch_signature(geoms: dict):
+    """Reference HATCH fidelity signature
+    (tests/test_integration.py:592-623 hatch_signature): (pattern_name,
+    solid_fill, paths) where a polyline path is ("polyline", is_closed,
+    2-D vertices @6dp) and an edge path is ("edge", (("line", start,
+    end) | ("arc", center, radius, start_angle, end_angle, ccw), ...))
+    — the exact per-edge params the reference writer re-emits losslessly
+    (dxf_writer.py:476-497). ``boundaries`` (the raw 3-D mirror kept
+    only for polyline paths by extraction) is NOT part of the contract,
+    matching the reference signature."""
+    paths = []
+    for p in geoms.get("hatch_paths") or []:
+        if p.get("path_type") == "polyline" or "vertices" in p:
+            paths.append(("polyline", bool(p.get("is_closed", True)),
+                          tuple(_xy(v) for v in p.get("vertices") or [])))
+        else:
+            edges = []
+            for e in p.get("edges") or []:
+                if e.get("edge_type") == "line" or "start" in e:
+                    edges.append(("line", _xy(e.get("start")),
+                                  _xy(e.get("end"))))
+                else:
+                    edges.append(("arc", _xy(e.get("center")),
+                                  _r6(e.get("radius")),
+                                  _r6(e.get("start_angle")),
+                                  _r6(e.get("end_angle")),
+                                  bool(e.get("ccw", True))))
+            paths.append(("edge", tuple(edges)))
+    return (str(geoms.get("pattern_name") or ""),
+            bool(geoms.get("solid_fill")), tuple(paths))
 
 
 def _value_subsumed(a, b) -> bool:
@@ -266,10 +316,11 @@ def _roundtrip_mismatches(media_refs: list[str], spans2: list[dict]) -> int:
             continue
         g1, g2 = p1.get("geometries") or {}, p2.get("geometries") or {}
         if et == "HATCH":
-            ok = (g2.get("pattern_name") == g1.get("pattern_name")
-                  and g2.get("solid_fill") == g1.get("solid_fill")
-                  and len(g2.get("hatch_paths") or []) == len(g1.get("hatch_paths") or []))
-            bad += 0 if ok else 1
+            # value-level via the reference's 6-dp signature (round 7 —
+            # VERDICT r6 item 3): pattern, solid flag, and every path's
+            # typed geometry incl. edge line/arc params must survive the
+            # export→re-ingest cycle exactly.
+            bad += 0 if _hatch_signature(g2) == _hatch_signature(g1) else 1
             continue
         if et in _LOSSY_GEOM:
             continue

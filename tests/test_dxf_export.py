@@ -69,12 +69,16 @@ def test_corpus_payloads_roundtrip_value_level():
     extra_data, so the oracle is geometry VALUE subsumption for
     extractor-backed types (re-extraction may add type-default keys).
     Fully lossy types: SPLINE (flattening), WIPEOUT (no extraction rule
-    — the reference writer has no geometry branch for it either), HATCH
-    (the reference writer re-emits boundary paths as 2D polylines,
-    dxf_writer.py:504 — boundaries don't survive verbatim; pattern/solid
-    do). MULTILEADER is exact since round 6 (codec CONTEXT_DATA
-    groups, reference builder parity dxf_writer.py:508-664)."""
-    lossy = {"SPLINE", "WIPEOUT", "HATCH"}
+    — the reference writer has no geometry branch for it either).
+    MULTILEADER is exact since round 6 (codec CONTEXT_DATA groups,
+    reference builder parity dxf_writer.py:508-664). HATCH is exact at
+    the reference's 6-dp signature since round 7 (pattern, solid flag,
+    typed paths incl. edge line/arc params — test_integration.py:592-623
+    contract; the raw 3-D ``boundaries`` mirror is outside it)."""
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        _hatch_signature,
+    )
+    lossy = {"SPLINE", "WIPEOUT"}
     checked = {}
     for idx in range(12):
         _did, spans = build_document(idx)
@@ -91,9 +95,8 @@ def test_corpus_payloads_roundtrip_value_level():
             assert p2["handle"] == p1["handle"]
             if et == "HATCH":
                 g1, g2 = p1["geometries"], p2["geometries"]
-                assert g2["pattern_name"] == g1["pattern_name"]
-                assert g2["solid_fill"] == g1["solid_fill"]
-                assert len(g2["hatch_paths"]) == len(g1["hatch_paths"])
+                assert _hatch_signature(g2) == _hatch_signature(g1)
+                checked[et] = checked.get(et, 0) + 1
                 continue
             if et in lossy:
                 continue
@@ -175,9 +178,11 @@ def test_roundtrip_mismatch_counter_detects_drift():
     tampered[0] = json.dumps(p)
     assert _roundtrip_mismatches(tampered, spans2) == 1
 
-    # geometry-value tamper on a non-lossy entity
+    # geometry-value tamper on a non-lossy entity (not HATCH — its
+    # compare is the signature, exercised by the dedicated tests below)
     idx = next(i for i, ref in enumerate(media)
                if json.loads(ref)["entity_type"] not in _LOSSY_GEOM
+               and json.loads(ref)["entity_type"] != "HATCH"
                and json.loads(ref)["geometries"])
     tampered = list(media)
     p = json.loads(tampered[idx])
@@ -187,3 +192,92 @@ def test_roundtrip_mismatch_counter_detects_drift():
     assert _roundtrip_mismatches(tampered, spans2) == 1
 
     assert _roundtrip_mismatches(media[:-1], spans2) == 1  # length drift
+
+
+def _hatch_payload(hatch_paths):
+    return {"attributes": {"layer": "0"}, "entity_type": "HATCH",
+            "extra_data": {"dxftype": "HATCH"},
+            "geometries": {"boundaries": [],
+                           "hatch_paths": hatch_paths,
+                           "pattern_name": "ANSI31", "solid_fill": False},
+            "handle": "H1", "layer": "0", "name": "h"}
+
+
+def _hatch_span(hatch_paths):
+    return {"kind": "media", "text": "",
+            "media_ref": json.dumps(_hatch_payload(hatch_paths)),
+            "offset": 0}
+
+
+def test_hatch_edge_paths_roundtrip_signature_exact():
+    """Round 7 (VERDICT r6 item 3): HATCH edge paths — line AND arc
+    params — survive FILE-mode export→re-ingest at the reference's 6-dp
+    signature (test_integration.py:592-623; writer contract
+    dxf_writer.py:476-497). The corpus only draws line edges, so this
+    pins the arc branch explicitly."""
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        _hatch_signature, _roundtrip_mismatches,
+    )
+    paths = [
+        {"path_type": "polyline", "is_closed": False,
+         "vertices": [[0.125, 0.25], [3.0, 0.0], [3.0, 4.0]]},
+        {"path_type": "edge", "edges": [
+            {"edge_type": "line", "start": [0.0, 0.0, 0.0],
+             "end": [1.5, 0.0, 0.0]},
+            {"edge_type": "arc", "center": [1.5, 0.75, 0.0],
+             "radius": 0.75, "start_angle": 270.0, "end_angle": 90.0,
+             "ccw": False},
+            {"edge_type": "line", "start": [1.5, 1.5], "end": [0.0, 0.0]},
+        ]},
+    ]
+    span = _hatch_span(paths)
+    content, n, skipped = document_to_dxf([span])
+    assert (n, skipped) == (1, 0)
+    spans2, _s, _b = _reingest(content)
+    assert len(spans2) == 1
+    g1 = _hatch_payload(paths)["geometries"]
+    g2 = json.loads(spans2[0]["media_ref"])["geometries"]
+    sig = _hatch_signature(g2)
+    assert sig == _hatch_signature(g1)
+    # the arc's params actually reached the signature (not vacuous)
+    assert sig[2][1] == ("edge", (
+        ("line", (0.0, 0.0), (1.5, 0.0)),
+        ("arc", (1.5, 0.75), 0.75, 270.0, 90.0, False),
+        ("line", (1.5, 1.5), (0.0, 0.0)),
+    ))
+    assert _roundtrip_mismatches([span["media_ref"]], spans2) == 0
+
+
+def test_hatch_signature_detects_edge_param_drift():
+    """Mutation check for the r7 fidelity upgrade: a tampered arc
+    radius, a tampered polyline vertex, and a flipped ccw are each a
+    counted mismatch (previously HATCH relaxed to path-count and would
+    have passed all three silently)."""
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        _roundtrip_mismatches,
+    )
+    paths = [
+        {"path_type": "polyline", "is_closed": True,
+         "vertices": [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]},
+        {"path_type": "edge", "edges": [
+            {"edge_type": "arc", "center": [1.0, 1.0], "radius": 2.5,
+             "start_angle": 10.0, "end_angle": 350.0, "ccw": True}]},
+    ]
+    span = _hatch_span(paths)
+    content, _, _ = document_to_dxf([span])
+    spans2, _s, _b = _reingest(content)
+    assert _roundtrip_mismatches([span["media_ref"]], spans2) == 0
+
+    def tampered(mutate):
+        import copy
+        p2 = copy.deepcopy(paths)
+        mutate(p2)
+        return [_hatch_span(p2)["media_ref"]]
+
+    for mutate in (
+        lambda p: p[1]["edges"][0].__setitem__("radius", 2.5000015),
+        lambda p: p[0]["vertices"][1].__setitem__(0, 2.000002),
+        lambda p: p[1]["edges"][0].__setitem__("ccw", False),
+        lambda p: p[0].__setitem__("is_closed", False),
+    ):
+        assert _roundtrip_mismatches(tampered(mutate), spans2) == 1
