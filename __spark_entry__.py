@@ -1072,6 +1072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.regexp_count("svg", F.lit("<circle")).alias("n_circles"),
             F.regexp_count("svg", F.lit("<path")).alias("n_paths"),
+            # r7 (VERDICT r6 item 6): dash styling is part of the gated
+            # signature — marks whose EFFECTIVE linetype (entity, else
+            # ByLayer snapshot) maps to a dash pattern carry
+            # stroke-dasharray, derivable in SQL from the media attributes
+            F.regexp_count("svg", F.lit("stroke-dasharray")).alias("n_dashed"),
             "n_elements")
     q["q_svg_previews"] = q_svg_previews
 
@@ -2541,6 +2546,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
                         THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
                  ELSE 0 END) AS INTEGER) AS n_paths,
+               CAST(SUM((CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
+                                  'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX') THEN 1
+                 WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
+                                      'LEADER','HELIX','POLYLINE','LWPOLYLINE',
+                                      'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
+                 WHEN entity_type = 'HATCH' THEN
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
+                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                 ELSE 0 END)
+                 * (CASE WHEN COALESCE(
+                      NULLIF(NULLIF(upper(json_extract_string(media_ref,'$.attributes.linetype')),'BYLAYER'),''),
+                      upper(json_extract_string(media_ref,'$.extra_data.layer_dxf_attribs.linetype')),
+                      'CONTINUOUS')
+                    IN ('DASHED','HIDDEN','DOT','DOTTED','CENTER','DASHDOT','PHANTOM')
+                    THEN 1 ELSE 0 END)) AS INTEGER) AS n_dashed,
                CAST(SUM(CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
                                   'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX')
                              THEN 1 ELSE 0 END)

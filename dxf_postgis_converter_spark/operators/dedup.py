@@ -285,10 +285,16 @@ def embedding_neardup_pairs(
     vectors are joined back AFTER the candidate-pair dedup, so the
     (band, sig) shuffle and the dedup shuffle never move embeddings
     (the minhash est-before-dedup lesson, commit afe6cbd). Buckets
-    larger than max_bucket are dropped via broadcast anti-join exactly
-    like minhash's hot-bucket guard: an adversarially concentrated
-    corpus (everything in one direction) bounds candidate generation
-    at kept-buckets × max_bucket² instead of N²."""
+    larger than max_bucket degrade to STAR candidates (every member
+    paired with the bucket's min-id representative) instead of all
+    pairs: an adversarially concentrated corpus (everything in one
+    direction) bounds candidate generation at kept-buckets ×
+    max_bucket² + hot-members, while a genuine giant duplicate cluster
+    — exactly the content dedup targets, which collides in EVERY band
+    and would lose all its pairs under a plain drop (ADVICE r6) —
+    still surfaces: each member verifies against the representative,
+    and connected components (dedup_groups) recovers the full cluster
+    from the star edges."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     e = emb.select(F.col(id_col), F.col(vec_col), norm.alias("_n"))
     if brute_force:
@@ -319,13 +325,26 @@ def embedding_neardup_pairs(
                       F.posexplode(band_sigs).alias("_band", "_sig"))
         sizes = es.groupBy("_band", "_sig").count()
         hot = sizes.filter(F.col("count") > max_bucket).drop("count")
-        es = es.join(F.broadcast(hot), ["_band", "_sig"], "left_anti")
-        a = es.select(F.col(id_col).alias("id_a"), "_band", "_sig")
-        b = es.select(F.col(id_col).alias("id_b"), "_band", "_sig")
-        ids = (a.join(b, ["_band", "_sig"])
-               .filter(F.col("id_a") < F.col("id_b"))
-               .select("id_a", "id_b")
-               .dropDuplicates(["id_a", "id_b"]))
+        cold = es.join(F.broadcast(hot), ["_band", "_sig"], "left_anti")
+        a = cold.select(F.col(id_col).alias("id_a"), "_band", "_sig")
+        b = cold.select(F.col(id_col).alias("id_b"), "_band", "_sig")
+        cold_ids = (a.join(b, ["_band", "_sig"])
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b"))
+        # hot buckets: linear star candidates against the min-id rep —
+        # both sides already hash to (_band, _sig), and the rep table has
+        # one row per hot bucket, so this adds one small shuffle bounded
+        # by the hot-member count (never a quadratic join)
+        hot_members = es.join(F.broadcast(hot), ["_band", "_sig"],
+                              "left_semi")
+        reps = hot_members.groupBy("_band", "_sig").agg(
+            F.min(id_col).alias("_rep"))
+        star_ids = (hot_members.join(reps, ["_band", "_sig"])
+                    .filter(F.col(id_col) != F.col("_rep"))
+                    .select(F.least(id_col, "_rep").alias("id_a"),
+                            F.greatest(id_col, "_rep").alias("id_b")))
+        ids = cold_ids.unionByName(star_ids) \
+            .dropDuplicates(["id_a", "id_b"])
         va = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                       F.col("_n").alias("n_a"))
         vb = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),

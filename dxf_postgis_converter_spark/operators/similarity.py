@@ -199,7 +199,11 @@ def ivf_query_probes(
             for s in range(0, n, chunk):
                 m = np.asarray(vecs[s:s + chunk], dtype=np.float64)
                 d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                top = d2.argsort(axis=1)[:, :npb]
+                # stable sort: exact distance ties (e.g. duplicate
+                # centroids) must pick the same probe set as the driver
+                # path's 1-D argsort (ADVICE r6) — quicksort tie order
+                # is shape-dependent, stable order is index order on both
+                top = d2.argsort(axis=1, kind="stable")[:, :npb]
                 for i, qi in enumerate(range(s, s + len(m))):
                     for cid in top[i]:
                         out_ids.append(ids[qi])
@@ -256,7 +260,11 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_en"), "centroid_id")
 
     if query_path == "auto":
-        query_path = "driver" if queries.count() <= driver_query_limit \
+        # dispatch on a LIMIT-bounded count: the scan short-circuits at
+        # driver_query_limit+1 rows instead of materializing the whole
+        # query lineage just to pick a path (ADVICE r6)
+        probe_n = queries.limit(driver_query_limit + 1).count()
+        query_path = "driver" if probe_n <= driver_query_limit \
             else "distributed"
     if query_path == "distributed":
         qdf = ivf_query_probes(queries, c, n_probe, q_id_col, q_vec_col) \
@@ -269,7 +277,7 @@ def ivf_topk(
         for r in qrows:
             qv = np.asarray(r[1], dtype=np.float64)
             d2 = ((c - qv) ** 2).sum(axis=1)
-            for cid in np.argsort(d2)[:n_probe]:
+            for cid in np.argsort(d2, kind="stable")[:n_probe]:
                 probe_rows.append((r[0], list(map(float, r[1])), int(cid)))
         qid_type = queries.schema[q_id_col].dataType.simpleString()
         qdf = spark.createDataFrame(

@@ -66,6 +66,44 @@ def aci_hex(aci: int) -> str:
     return _ACI_EXACT[_DEFAULT_ACI]
 
 
+# public acad.lin dash patterns (drawing units) for the ubiquitous
+# linetypes — the ezdxf drawing add-on resolves the same table when the
+# reference renders through Frontend/RenderContext (dxf_reader.py:724-750)
+_LTYPE_DASH = {
+    "DASHED": (0.5, 0.25),
+    "HIDDEN": (0.25, 0.125),
+    "DOT": (0.0, 0.25),
+    "DOTTED": (0.0, 0.25),
+    "CENTER": (1.25, 0.25, 0.25, 0.25),
+    "DASHDOT": (0.5, 0.25, 0.0, 0.25),
+    "PHANTOM": (1.25, 0.25, 0.25, 0.25, 0.25, 0.25),
+}
+
+
+def effective_linetype(attributes: dict, extra_data: dict) -> tuple[str, str]:
+    """(effective linetype name, stroke-dasharray) resolved through the
+    SAME ByLayer snapshot the color resolution uses (VERDICT r6 item 6):
+    an entity linetype of BYLAYER/None falls back to the layer's
+    ``linetype`` from extra_data.layer_dxf_attribs; the pattern is scaled
+    by the entity's ``ltscale``. Unknown/CONTINUOUS names render solid
+    (empty dasharray)."""
+    lt = attributes.get("linetype")
+    if lt is None or str(lt).upper() in ("BYLAYER", ""):
+        layer_style = (extra_data or {}).get("layer_dxf_attribs") or {}
+        lt = layer_style.get("linetype")
+    name = "CONTINUOUS" if lt is None else str(lt).upper()
+    pat = _LTYPE_DASH.get(name)
+    if not pat:
+        return name, ""
+    try:
+        scale = float(attributes.get("ltscale") or 1.0)
+    except (TypeError, ValueError):
+        scale = 1.0
+    if scale <= 0:
+        scale = 1.0
+    return name, " ".join(f"{v * scale:g}" for v in pat)
+
+
 def effective_color(attributes: dict, extra_data: dict) -> tuple[int, str]:
     """(effective ACI, hex) with the reference's resolution rules."""
     tc = attributes.get("true_color")
@@ -94,10 +132,15 @@ def _style_of(row_json) -> str:
         d = json.loads(row_json)
     except (TypeError, ValueError):
         return ""
-    aci, hexc = effective_color(d.get("attributes") or {},
-                                d.get("extra_data") or {})
+    attrs = d.get("attributes") or {}
+    extra = d.get("extra_data") or {}
+    aci, hexc = effective_color(attrs, extra)
     tag = "true" if aci < 0 else str(aci)
-    return f' stroke="#{hexc}" data-aci="{tag}"'
+    st = f' stroke="#{hexc}" data-aci="{tag}"'
+    lt_name, dashes = effective_linetype(attrs, extra)
+    if dashes:
+        st += f' stroke-dasharray="{dashes}" data-linetype="{lt_name}"'
+    return st
 
 
 def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -250,7 +250,7 @@ def ivf_topk(emb: list[tuple[int, list[float]]], queries: list[tuple[int, list[f
     pairs = set()
     for qid, qv in queries:
         dq = ((c - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
-        for cid in np.argsort(dq)[:n_probe]:
+        for cid in np.argsort(dq, kind="stable")[:n_probe]:
             for vid in cells.get(int(cid), []):
                 pairs.add((qid, vid))
     return _rerank_topk(evec, dict(queries), pairs, k)
@@ -263,8 +263,10 @@ def embedding_neardup_lsh(emb: list[tuple[int, list[float]]], threshold: float,
     operators/dedup.embedding_neardup_pairs): n_bands independent bands
     of n_planes hyperplanes drawn from ONE rng stream (rows b·r..(b+1)·r
     belong to band b — the operator slices the same matrix), per-band
-    buckets larger than max_bucket dropped, candidate pairs deduped
-    across bands before the exact verify."""
+    buckets larger than max_bucket degraded to star candidates against
+    the bucket's min-id representative (r7: a giant true dup cluster
+    collides in every band and must still surface), candidate pairs
+    deduped across bands before the exact verify."""
     dim = len(emb[0][1])
     planes = _planes(dim, n_bands * n_planes, seed)
     evec = {i: (v, _fold_norm(v)) for i, v in emb}
@@ -275,9 +277,12 @@ def embedding_neardup_lsh(emb: list[tuple[int, list[float]]], threshold: float,
         for i, v in emb:
             buckets.setdefault(_sig_bits(v, band), []).append(i)
         for ids in buckets.values():
-            if len(ids) > max_bucket:
-                continue
             ids.sort()
+            if len(ids) > max_bucket:
+                rep = ids[0]
+                for other in ids[1:]:
+                    pairs.add((rep, other))
+                continue
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
                     pairs.add((ids[x], ids[y]))

@@ -132,10 +132,14 @@ def test_embedding_neardup_banded_recall_and_cap(spark):
     seeded = {(2 * i, 2 * i + 1) for i in range(40)} & exact
     assert seeded and len(got & seeded) >= 0.8 * len(seeded)
     # candidate-count bound: 30 identical-direction vectors collide in
-    # EVERY band; with max_bucket=20 those buckets are dropped outright
+    # EVERY band; with max_bucket=20 those buckets degrade to STAR
+    # candidates (r7, ADVICE r6) — linear in members, and the giant dup
+    # cluster still surfaces as rep→member pairs instead of vanishing
     adv = spark.createDataFrame([(i, [1.0] + [0.0] * 15) for i in range(30)],
                                 "vec_id bigint, embedding array<double>")
-    assert embedding_neardup_pairs(adv, threshold=0.9, max_bucket=20).count() == 0
+    star = {(r.id_a, r.id_b) for r in
+            embedding_neardup_pairs(adv, threshold=0.9, max_bucket=20).collect()}
+    assert star == {(0, i) for i in range(1, 30)}
     # replica twin stays in lockstep (the gate oracle's VALUES source)
     from dxf_postgis_converter_spark import replicas
     rep = {(a, b) for a, b, _ in replicas.embedding_neardup_lsh(

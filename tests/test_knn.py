@@ -381,3 +381,22 @@ def test_knn_oneshot_rejects_explicit_fine_res(knn_data):
     pdf, tdf, _, _ = knn_data
     with pytest.raises(ValueError, match="oneshot"):
         knn_join(pdf, tdf, k=3, res=7, fine_res=11, strategy="oneshot")
+
+
+def test_knn_auto_dispatch_probe_hint_skips_count(knn_data):
+    """VERDICT r6 item 7: a caller that already knows the probe count
+    passes n_probes_hint and the dispatch count action is skipped — the
+    hint (not a fresh count) drives the engine choice, proven by a hint
+    that contradicts the actual probe count."""
+    import dxf_postgis_converter_spark.operators.knn as knn_mod
+    pdf, tdf, _, _ = knn_data
+    pinned = sorted(map(tuple, knn_join(pdf, tdf, k=4, res=7,
+                                        strategy="ladder").collect()))
+    # tiny data + a hint above the crossover: only the hint can explain
+    # an oneshot pick (a real count would have chosen the ladder)
+    got = sorted(map(tuple, knn_join(
+        pdf, tdf, k=4, res=7, strategy="auto",
+        n_probes_hint=5_000_000).collect()))
+    assert knn_mod._LAST_SCHEDULE[0] == ("auto", [5_000_000])
+    assert knn_mod._LAST_SCHEDULE[1][0] == "oneshot"
+    assert got == pinned

@@ -123,6 +123,33 @@ def test_ivf_query_paths_identical(spark):
     assert auto == drv
 
 
+def test_ivf_paths_identical_under_duplicate_centroid_ties(spark):
+    """ADVICE r6: exact probe-distance ties (duplicate centroids) must
+    resolve identically on the driver's 1-D argsort and the distributed
+    2-D argsort — both are kind='stable' now, so tied centroids are taken
+    in index order on either path."""
+    import numpy as np
+    from dxf_postgis_converter_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    # duplicate every centroid: every query's probe distances tie pairwise
+    base_c = rng.standard_normal((4, 8))
+    centroids = np.vstack([base_c, base_c])
+    vecs = [(i, (base_c[i % 4] + rng.standard_normal(8) * 0.3).tolist())
+            for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    base = emb.filter("vec_id >= 6")
+    kw = dict(k=4, n_centroids=8, n_probe=3, centroids=centroids)
+    drv = {tuple(r) for r in
+           ivf_topk(base, qs, query_path="driver", **kw).collect()}
+    dist = {tuple(r) for r in
+           ivf_topk(base, qs, query_path="distributed", **kw).collect()}
+    assert drv == dist and len(drv) > 0
+
+
 def test_ivf_distributed_plan_has_no_query_collect(spark):
     """The large-query path must not funnel the query side through the
     driver: no LocalTableScan of probe rows (createDataFrame) in the

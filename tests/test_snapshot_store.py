@@ -435,19 +435,53 @@ def test_catalog_concurrent_creates_all_land(spark, tmp_path):
 
 def test_stream_batch_dedup_survives_expiry(spark, tmp_path):
     """ADVICE r5: replay dedup must not depend on retained history — the
-    max_stream_batch high-water mark rides EVERY manifest, so a replay of
-    a batch whose snapshot was expired (and even after later non-stream
-    commits) is still skipped."""
+    per-stream high-water mark rides EVERY manifest, so a replay of the
+    mark batch whose snapshot was expired (and even after later
+    non-stream commits) is still skipped. Since round 7 (ADVICE r6) a
+    batch STRICTLY below the mark is not a legal replay within one
+    stream identity (epochs only grow) and raises instead of silently
+    skipping."""
+    from dxf_postgis_converter_spark.sources.snapshot_store import (
+        StreamBatchRegression,
+    )
     t = SnapshotTable(spark, str(tmp_path / "ledger"))
     assert t.append_stream_batch(_ents(spark, "d0", "L0", ["a"]), batch_id=0) is not None
     assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is not None
     t.expire_snapshots(keep_last=1, older_than_s=0.0)
-    assert t.append_stream_batch(_ents(spark, "d0", "L0", ["a"]), batch_id=0) is None
     assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is None
     t.append(_ents(spark, "d2", "L0", ["c"]))  # non-stream commit carries the mark
     assert t.append_stream_batch(_ents(spark, "d1", "L0", ["b"]), batch_id=1) is None
     assert t.append_stream_batch(_ents(spark, "d3", "L0", ["d"]), batch_id=2) is not None
+    # a regressed epoch (reset checkpoint / identity collision) is LOUD,
+    # not silently swallowed — and writes nothing
+    with pytest.raises(StreamBatchRegression, match="below the"):
+        t.append_stream_batch(_ents(spark, "dX", "L0", ["x"]), batch_id=0)
     assert t.read().count() == 4  # a, b, c, d — each exactly once
+
+
+def test_stream_batch_marks_keyed_by_stream_identity(spark, tmp_path):
+    """ADVICE r6: a SECOND streaming query into the same table (its
+    epochs restart at 0) must not be swallowed by the first query's
+    high-water mark — marks are keyed by stream_id, and each identity
+    dedups its own replays independently."""
+    t = SnapshotTable(spark, str(tmp_path / "two_streams"))
+    assert t.append_stream_batch(_ents(spark, "a0", "L0", ["a"]),
+                                 batch_id=0, stream_id="qA") is not None
+    assert t.append_stream_batch(_ents(spark, "a1", "L0", ["b"]),
+                                 batch_id=1, stream_id="qA") is not None
+    # second query, fresh checkpoint: epoch 0 again — must COMMIT
+    assert t.append_stream_batch(_ents(spark, "b0", "L0", ["c"]),
+                                 batch_id=0, stream_id="qB") is not None
+    # each identity's replay-of-mark still dedups
+    assert t.append_stream_batch(_ents(spark, "a1", "L0", ["b"]),
+                                 batch_id=1, stream_id="qA") is None
+    assert t.append_stream_batch(_ents(spark, "b0", "L0", ["c"]),
+                                 batch_id=0, stream_id="qB") is None
+    assert t.read().count() == 3
+    # marks survive expiry per identity
+    t.expire_snapshots(keep_last=1, older_than_s=0.0)
+    assert t.append_stream_batch(_ents(spark, "b0", "L0", ["c"]),
+                                 batch_id=0, stream_id="qB") is None
 
 
 def test_changes_from_expired_base_fails_loudly(table, spark):
@@ -459,3 +493,40 @@ def test_changes_from_expired_base_fails_loudly(table, spark):
         table.changes(0)
     # a surviving base still works
     assert {r["doc_id"] for r in table.changes(1).collect()} == {"docC"}
+
+
+def test_append_retry_recomputes_schema_after_concurrent_evolution(
+        table, spark):
+    """ADVICE r5 closure, pinned as its own regression (VERDICT r6 item
+    5b): a writer that PLANNED a narrow append loses its version claim to
+    a concurrent additive schema evolution; the retry must re-validate
+    the schema against the NEW head (_refresh_schema) so the committed
+    manifest records the evolved schema — recording the stale plan-time
+    schema would make read() silently hide the new column."""
+    table.append(_ents(spark, "docA", "L1", ["a"]))          # v0, narrow
+    # our writer plans a narrow append against v0 (files staged, schema
+    # computed — exactly what append() does before its commit loop)
+    df = _ents(spark, "docB", "L1", ["b"])
+    planned_schema = table._schema_json(df)
+    planned_head = table.current_version()
+    staged = table._stage_files(df)
+    # a concurrent writer evolves the table first: v1 adds `score`
+    wider = _ents(spark, "docC", "L1", ["c"]).withColumn(
+        "score", F.lit(1.5))
+    table.append(wider, allow_new_columns=True)
+    # plan is now stale: the claim against v0 must lose...
+    with pytest.raises(CommitConflict):
+        table._commit(
+            table._manifest(planned_head)["files"] + staged, "append",
+            table._refresh_schema(planned_schema), planned_head)
+    # ...and the retry (same steps append() takes) recomputes BOTH the
+    # carried files and the schema against the evolved head
+    head = table.current_version()
+    refreshed = table._refresh_schema(planned_schema)
+    assert "score" in {f["name"] for f in refreshed["fields"]}
+    v = table._commit(
+        table._manifest(head)["files"] + staged, "append", refreshed, head)
+    assert {f["name"] for f in table._manifest(v)["schema"]["fields"]} \
+        == {"doc_id", "layer", "name", "entity_type", "payload", "score"}
+    rows = {(r["doc_id"], r["score"]) for r in table.read().collect()}
+    assert rows == {("docA", None), ("docB", None), ("docC", 1.5)}

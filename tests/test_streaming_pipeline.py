@@ -120,7 +120,12 @@ def test_stream_into_snapshot_table_exactly_once_cdc(spark, docs_df, zones_df,
     hist = table.history()
     assert len(hist) >= 2  # maxFilesPerTrigger=2 over 6 files → ≥2 batches
     ops = [h["operation"] for h in hist]
-    assert all(op.startswith("stream-append:batch=") for op in ops)
+    # r7: the replay mark is keyed by stream identity (default: the
+    # checkpoint basename), recorded in the operation string
+    import os as _os
+    sid = _os.path.basename(_os.path.normpath(ck))
+    assert all(op.startswith(f"stream-append:stream={sid}:batch=")
+               for op in ops)
     assert len(set(ops)) == len(ops)  # one snapshot per distinct batch
 
     batch_docs = spark.read.parquet(src)
@@ -140,10 +145,11 @@ def test_stream_into_snapshot_table_exactly_once_cdc(spark, docs_df, zones_df,
     v0 = Counter(map(key, table.read(version=0).collect()))
     assert inc == full - v0 and sum(inc.values()) > 0
 
-    # replaying an already-committed batch id is a no-op
-    some_batch = int(hist[0]["operation"].rsplit("=", 1)[1])
+    # replaying an already-committed batch id UNDER THE SAME stream
+    # identity is a no-op (the mark batch is the only legal replay)
+    max_batch = max(int(h["operation"].rsplit("=", 1)[1]) for h in hist)
     n_before = table.read().count()
     assert table.append_stream_batch(
-        table.read(version=0), some_batch) is None
+        table.read(version=0), max_batch, stream_id=sid) is None
     assert table.read().count() == n_before
     assert len(table.history()) == len(hist)

@@ -53,3 +53,38 @@ def test_svg_effective_color_rules(spark):
         "doc_id string, geometry_wkb binary, data_json string")
     svg = svg_previews(df).collect()[0].svg
     assert 'stroke="#FF0000"' in svg and 'data-aci="1"' in svg
+
+
+def test_svg_effective_linetype_dasharray(spark):
+    """r7 (VERDICT r6 item 6): dash styling resolves through the SAME
+    ByLayer snapshot as color — entity linetype wins, BYLAYER falls back
+    to layer_dxf_attribs.linetype, unknown/CONTINUOUS render solid;
+    patterns scale with ltscale and land as stroke-dasharray on marks."""
+    import json
+
+    from dxf_postgis_converter_spark.operators.svg import effective_linetype
+
+    assert effective_linetype({"linetype": "DASHED"}, {}) \
+        == ("DASHED", "0.5 0.25")
+    assert effective_linetype({"linetype": "DASHED", "ltscale": 2.0}, {}) \
+        == ("DASHED", "1 0.5")
+    assert effective_linetype({"linetype": "BYLAYER"},
+                              {"layer_dxf_attribs": {"linetype": "CENTER"}}) \
+        == ("CENTER", "1.25 0.25 0.25 0.25")
+    assert effective_linetype({}, {}) == ("CONTINUOUS", "")
+    assert effective_linetype({"linetype": "WEIRD_CUSTOM"}, {}) \
+        == ("WEIRD_CUSTOM", "")
+
+    from dxf_postgis_converter_spark.geometry.wkb import wkb_point as _wp
+    dashed = json.dumps({"attributes": {"color": 3, "linetype": "DASHED"},
+                         "extra_data": {}})
+    solid = json.dumps({"attributes": {"color": 3, "linetype": "BYLAYER"},
+                        "extra_data": {}})
+    df = spark.createDataFrame(
+        [("d1", bytearray(_wp(1.0, 0.0, 0.0)), dashed),
+         ("d2", bytearray(_wp(2.0, 0.0, 0.0)), solid)],
+        "doc_id string, geometry_wkb binary, data_json string")
+    out = {r.doc_id: r.svg for r in svg_previews(df).collect()}
+    assert 'stroke-dasharray="0.5 0.25"' in out["d1"]
+    assert 'data-linetype="DASHED"' in out["d1"]
+    assert "stroke-dasharray" not in out["d2"]  # BYLAYER w/o snapshot → solid
