@@ -113,3 +113,54 @@ def test_base_attribs_roundtrip(color, handle):
     assert dxfattribs["color"] == color
     p = json.loads(spans_from_entity_snapshots(parsed, {})[0]["media_ref"])
     assert p["attributes"]["color"] == color
+
+
+# --- HATCH payload-level signature round-trip (r7) ---------------------------
+
+_h_pt = st.one_of(st.tuples(fin, fin).map(list),
+                  st.tuples(fin, fin, fin).map(list))
+_h_line = st.builds(
+    lambda a, b: {"edge_type": "line", "start": a, "end": b}, _h_pt, _h_pt)
+_h_arc = st.builds(
+    lambda c, r, s, e, ccw: {"edge_type": "arc", "center": c, "radius": r,
+                             "start_angle": s, "end_angle": e, "ccw": ccw},
+    _h_pt, fin, fin, fin, st.booleans())
+_h_poly = st.builds(
+    lambda vs, cl: {"path_type": "polyline", "is_closed": cl, "vertices": vs},
+    st.lists(_h_pt, min_size=1, max_size=6), st.booleans())
+_h_edge = st.builds(
+    lambda es: {"path_type": "edge", "edges": es},
+    st.lists(st.one_of(_h_line, _h_arc), min_size=1, max_size=5))
+_h_paths = st.lists(st.one_of(_h_poly, _h_edge), min_size=0, max_size=4)
+
+
+@settings(max_examples=150, deadline=None)
+@given(paths=_h_paths,
+       pattern=st.sampled_from(["SOLID", "ANSI31", "CROSS", ""]),
+       solid=st.booleans())
+def test_hatch_signature_roundtrips_through_file_export(
+        paths, pattern, solid):
+    """r7 fidelity property (VERDICT r6 item 3): for RANDOM typed HATCH
+    paths — polyline and edge (line/arc) mixes, arbitrary finite floats,
+    2-D or 3-D points — the payload-level FILE export→re-ingest cycle
+    preserves the reference 6-dp signature exactly, and the distributed
+    report counts zero mismatches. (Empty edge paths are out of domain:
+    the writer drops them, matching the reference builder.)"""
+    from dxf_postgis_converter_spark.sources.dxf_export import (
+        _hatch_signature, _roundtrip_mismatches, document_to_dxf,
+    )
+    payload = {"attributes": {"layer": "0"}, "entity_type": "HATCH",
+               "extra_data": {"dxftype": "HATCH"},
+               "geometries": {"boundaries": [], "hatch_paths": paths,
+                              "pattern_name": pattern, "solid_fill": solid},
+               "handle": "H1", "layer": "0", "name": "h"}
+    span = {"kind": "media", "text": "", "media_ref": json.dumps(payload),
+            "offset": 0}
+    content, n, skipped = document_to_dxf([span])
+    assert (n, skipped) == (1, 0)
+    styles, snaps, blocks = parse_dxf(content.decode("utf-8"))
+    spans2 = spans_from_entity_snapshots(snaps, styles, blocks)
+    assert len(spans2) == 1
+    g2 = json.loads(spans2[0]["media_ref"])["geometries"]
+    assert _hatch_signature(g2) == _hatch_signature(payload["geometries"])
+    assert _roundtrip_mismatches([span["media_ref"]], spans2) == 0
