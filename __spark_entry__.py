@@ -1072,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.regexp_count("svg", F.lit("<circle")).alias("n_circles"),
             F.regexp_count("svg", F.lit("<path")).alias("n_paths"),
+            # r7: TEXT/MTEXT/ATTRIB render as <text> marks (content +
+            # height + rotation), no longer anonymous circles
+            F.regexp_count("svg", F.lit("<text")).alias("n_texts"),
             # r7 (VERDICT r6 item 6): dash styling is part of the gated
             # signature — marks whose EFFECTIVE linetype (entity, else
             # ByLayer snapshot) maps to a dash pattern carry
@@ -2533,9 +2536,11 @@ def oracle_sql() -> dict[str, str]:
     # SVG sink: expected per-doc mark counts from the geometry-kind rules
     # (one <circle> per point-kind entity, one <path> per line/polygon-kind
     # entity, HATCH = one path per boundary when MULTIPOLYGON)
+    # r7: TEXT/MTEXT/ATTRIB are <text> marks (n_texts), no longer circles;
+    # text marks are filled, not stroked, so they never carry dasharray
     o["q_svg_previews"] = f"""
         SELECT doc_id,
-               CAST(SUM(CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
+               CAST(SUM(CASE WHEN entity_type IN ('POINT','INSERT',
                                   'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX')
                              THEN 1 ELSE 0 END) AS INTEGER) AS n_circles,
                CAST(SUM(CASE
@@ -2546,7 +2551,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
                         THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
                  ELSE 0 END) AS INTEGER) AS n_paths,
-               CAST(SUM((CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
+               CAST(SUM(CASE WHEN entity_type IN ('TEXT','MTEXT','ATTRIB')
+                             THEN 1 ELSE 0 END) AS INTEGER) AS n_texts,
+               CAST(SUM((CASE WHEN entity_type IN ('POINT','INSERT',
                                   'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX') THEN 1
                  WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
                                       'LEADER','HELIX','POLYLINE','LWPOLYLINE',

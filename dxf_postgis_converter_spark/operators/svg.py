@@ -17,12 +17,19 @@ grey ramp use the universally published values; the 10-249 chromatic
 block is this engine's deterministic hue-grid rendering of AutoCAD's
 documented 24-hue × 5-lightness × saturated/dim layout (visual
 approximation — the authoritative datum is data-aci, which IS exact).
+
+Text fidelity (r7): TEXT/MTEXT/ATTRIB render as ``<text>`` marks at the
+insert point carrying the actual content, font-size = DXF height, and
+the DXF rotation (as an SVG rotate transform), instead of the previous
+anonymous point circle — mirroring what the reference's Frontend render
+draws as glyphs (dxf_reader.py:724-750).
 """
 
 from __future__ import annotations
 
 import colorsys
 import json
+from xml.sax.saxutils import escape
 
 import numpy as np
 import pandas as pd
@@ -125,12 +132,17 @@ def _path_d(ring: np.ndarray, close: bool) -> str:
     return f"M {pts}" + (" Z" if close else "")
 
 
-def _style_of(row_json) -> str:
+def _parse_row(row_json) -> dict | None:
     if row_json is None:
-        return ""
+        return None
     try:
-        d = json.loads(row_json)
+        return json.loads(row_json)
     except (TypeError, ValueError):
+        return None
+
+
+def _style_of(d: dict | None) -> str:
+    if not d:
         return ""
     attrs = d.get("attributes") or {}
     extra = d.get("extra_data") or {}
@@ -143,6 +155,33 @@ def _style_of(row_json) -> str:
     return st
 
 
+# entity types the ezdxf drawing add-on renders as text glyphs at the
+# insert point (dxf_reader.py:724-750 via Frontend); here each becomes a
+# filled <text> mark carrying the content, height and rotation — the
+# content is the authoritative datum, the glyph shapes are the viewer's
+_TEXT_TYPES = frozenset(("TEXT", "MTEXT", "ATTRIB"))
+
+
+def _text_mark(d: dict, x: float, y: float) -> str:
+    attrs = d.get("attributes") or {}
+    extra = d.get("extra_data") or {}
+    geoms = d.get("geometries") or {}
+    aci, hexc = effective_color(attrs, extra)
+    tag = "true" if aci < 0 else str(aci)
+    content = escape(str(geoms.get("text") or ""))
+    try:
+        h = float(geoms.get("height") or 0.0) or 1.0
+    except (TypeError, ValueError):
+        h = 1.0
+    try:
+        rot = float(geoms.get("rotation") or 0.0)
+    except (TypeError, ValueError):
+        rot = 0.0
+    tr = f' transform="rotate({-rot:g} {x:.3f} {y:.3f})"' if rot else ""
+    return (f'<text x="{x:.3f}" y="{y:.3f}" font-size="{h:g}"{tr}'
+            f' fill="#{hexc}" data-aci="{tag}">{content}</text>')
+
+
 def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:
     doc_id = pdf["doc_id"].iloc[0]
     styles = pdf["data_json"] if "data_json" in pdf.columns \
@@ -152,11 +191,15 @@ def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:
     for wkb, dj in zip(pdf["geometry_wkb"], styles):
         if wkb is None:
             continue
-        st = _style_of(dj)
+        d = _parse_row(dj)
+        st = _style_of(d)
         code, g = parse_wkb(bytes(wkb))
         if code == POINT_Z:
             x, y = g[0, 0], g[0, 1]
-            parts.append(f'<circle cx="{x:.3f}" cy="{y:.3f}" r="0.5"{st}/>')
+            if d and d.get("entity_type") in _TEXT_TYPES:
+                parts.append(_text_mark(d, x, y))
+            else:
+                parts.append(f'<circle cx="{x:.3f}" cy="{y:.3f}" r="0.5"{st}/>')
             xs.append(x), ys.append(y)
         elif code == LINESTRING_Z:
             parts.append(f'<path fill="none" d="{_path_d(g, False)}"{st}/>')
