@@ -88,3 +88,50 @@ def test_svg_effective_linetype_dasharray(spark):
     assert 'stroke-dasharray="0.5 0.25"' in out["d1"]
     assert 'data-linetype="DASHED"' in out["d1"]
     assert "stroke-dasharray" not in out["d2"]  # BYLAYER w/o snapshot → solid
+
+
+def test_svg_text_marks(spark):
+    """r7: TEXT/MTEXT/ATTRIB render as <text> marks at the insert point —
+    escaped content, font-size from DXF height (0/garbage → 1), rotation
+    as an SVG rotate transform, effective-color fill, and never a
+    stroke-dasharray (text is filled, not stroked)."""
+    import json
+
+    from dxf_postgis_converter_spark.geometry.wkb import wkb_point as _wp
+
+    def dj(etype, geoms, attrs=None):
+        return json.dumps({"entity_type": etype, "attributes": attrs or {},
+                           "extra_data": {}, "geometries": geoms})
+
+    rows = [
+        ("esc", dj("TEXT", {"text": 'a<b & "c">d', "height": 2.5,
+                            "rotation": 0.0}, {"color": 1})),
+        ("rot", dj("MTEXT", {"text": "spin", "height": 4.0,
+                             "rotation": 90.0})),
+        ("degen", dj("ATTRIB", {"text": "", "height": "bogus",
+                                "rotation": None},
+                     {"linetype": "DASHED"})),
+        ("plainpt", dj("POINT", {})),
+    ]
+    df = spark.createDataFrame(
+        [(d, bytearray(_wp(1.0, 2.0, 0.0)), j) for d, j in rows],
+        "doc_id string, geometry_wkb binary, data_json string")
+    out = {r.doc_id: r.svg for r in svg_previews(df).collect()}
+
+    # content XML-escaped, well-formed, height → font-size, color → fill
+    assert "a&lt;b &amp; \"c\"&gt;d" in out["esc"]
+    ET.fromstring(out["esc"])
+    assert 'font-size="2.5"' in out["esc"] and 'fill="#FF0000"' in out["esc"]
+    assert 'data-aci="1"' in out["esc"]
+    assert "transform" not in out["esc"]  # rotation 0 → no transform
+
+    # DXF CCW rotation → SVG rotate with flipped sign about the anchor
+    assert 'transform="rotate(-90 1.000 2.000)"' in out["rot"]
+
+    # degenerate height/rotation fall back, dash never lands on text
+    assert 'font-size="1"' in out["degen"]
+    assert "stroke-dasharray" not in out["degen"]
+    ET.fromstring(out["degen"])
+
+    # non-text point kinds keep the circle mark
+    assert "<circle" in out["plainpt"] and "<text" not in out["plainpt"]
