@@ -168,7 +168,9 @@ def _text_mark(d: dict, x: float, y: float) -> str:
     geoms = d.get("geometries") or {}
     aci, hexc = effective_color(attrs, extra)
     tag = "true" if aci < 0 else str(aci)
-    content = escape(str(geoms.get("text") or ""))
+    # \r must be a char reference: XML parsers normalize literal \r /
+    # \r\n in element text to \n, which would break content round-trip
+    content = escape(str(geoms.get("text") or ""), {"\r": "&#13;"})
     try:
         h = float(geoms.get("height") or 0.0) or 1.0
     except (TypeError, ValueError):

@@ -135,3 +135,33 @@ def test_svg_text_marks(spark):
 
     # non-text point kinds keep the circle mark
     assert "<circle" in out["plainpt"] and "<text" not in out["plainpt"]
+
+
+def test_text_mark_content_roundtrip_property():
+    """Any XML-legal content survives mark → parse → .text unchanged
+    (pure-function property, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dxf_postgis_converter_spark.operators.svg import _text_mark
+
+    # XML 1.0 forbids most C0 controls; the corpus text never carries
+    # them (normalize strips), so draw from legal characters only
+    legal = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters="".join(
+                                   chr(c) for c in range(0x20)
+                                   if c not in (0x09, 0x0A, 0x0D))),
+        max_size=200)
+
+    @settings(max_examples=200, deadline=None)
+    @given(content=legal, rot=st.floats(-720, 720, allow_nan=False),
+           h=st.floats(0, 1e6, allow_nan=False))
+    def check(content, rot, h):
+        d = {"attributes": {"color": 2}, "extra_data": {},
+             "geometries": {"text": content, "height": h, "rotation": rot}}
+        el = ET.fromstring(_text_mark(d, 1.0, 2.0))
+        assert (el.text or "") == content
+        assert float(el.attrib["font-size"]) > 0
+
+    check()
