@@ -1080,6 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # ByLayer snapshot) maps to a dash pattern carry
             # stroke-dasharray, derivable in SQL from the media attributes
             F.regexp_count("svg", F.lit("stroke-dasharray")).alias("n_dashed"),
+            # r7: fill semantics are gated too — HATCH (one evenodd mark
+            # per entity, islands as subpaths) and SOLID/TRACE render as
+            # FILLED shapes like the ezdxf Frontend; fills carry no dash
+            F.regexp_count("svg", F.lit("fill-rule")).alias("n_filled"),
             "n_elements")
     q["q_svg_previews"] = q_svg_previews
 
@@ -2548,8 +2552,8 @@ def oracle_sql() -> dict[str, str]:
                                       'LEADER','HELIX','POLYLINE','LWPOLYLINE',
                                       'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
                  WHEN entity_type = 'HATCH' THEN
-                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
-                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') >= 1
+                        THEN 1 ELSE 0 END
                  ELSE 0 END) AS INTEGER) AS n_paths,
                CAST(SUM(CASE WHEN entity_type IN ('TEXT','MTEXT','ATTRIB')
                              THEN 1 ELSE 0 END) AS INTEGER) AS n_texts,
@@ -2557,10 +2561,7 @@ def oracle_sql() -> dict[str, str]:
                                   'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX') THEN 1
                  WHEN entity_type IN ('LINE','RAY','XLINE','ARC','ELLIPSE','SPLINE',
                                       'LEADER','HELIX','POLYLINE','LWPOLYLINE',
-                                      'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
-                 WHEN entity_type = 'HATCH' THEN
-                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
-                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                                      'CIRCLE','3DFACE') THEN 1
                  ELSE 0 END)
                  * (CASE WHEN COALESCE(
                       NULLIF(NULLIF(upper(json_extract_string(media_ref,'$.attributes.linetype')),'BYLAYER'),''),
@@ -2568,6 +2569,11 @@ def oracle_sql() -> dict[str, str]:
                       'CONTINUOUS')
                     IN ('DASHED','HIDDEN','DOT','DOTTED','CENTER','DASHDOT','PHANTOM')
                     THEN 1 ELSE 0 END)) AS INTEGER) AS n_dashed,
+               CAST(SUM(CASE WHEN entity_type IN ('SOLID','TRACE') THEN 1
+                 WHEN entity_type = 'HATCH' THEN
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') >= 1
+                        THEN 1 ELSE 0 END
+                 ELSE 0 END) AS INTEGER) AS n_filled,
                CAST(SUM(CASE WHEN entity_type IN ('POINT','TEXT','MTEXT','ATTRIB','INSERT',
                                   'SHAPE','VIEWPORT','IMAGE','MULTILEADER','VERTEX')
                              THEN 1 ELSE 0 END)
@@ -2576,8 +2582,8 @@ def oracle_sql() -> dict[str, str]:
                                       'LEADER','HELIX','POLYLINE','LWPOLYLINE',
                                       'CIRCLE','3DFACE','SOLID','TRACE') THEN 1
                  WHEN entity_type = 'HATCH' THEN
-                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') = 1
-                        THEN 1 ELSE json_array_length(media_ref,'$.geometries.boundaries') END
+                   CASE WHEN json_array_length(media_ref,'$.geometries.boundaries') >= 1
+                        THEN 1 ELSE 0 END
                  ELSE 0 END) AS INTEGER) AS n_elements
         FROM ({_SQL_MEDIA}) GROUP BY doc_id
     """

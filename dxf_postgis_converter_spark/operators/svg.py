@@ -23,6 +23,15 @@ insert point carrying the actual content, font-size = DXF height, and
 the DXF rotation (as an SVG rotate transform), instead of the previous
 anonymous point circle — mirroring what the reference's Frontend render
 draws as glyphs (dxf_reader.py:724-750).
+
+Fill fidelity (r7): HATCH renders as ONE filled evenodd mark per entity
+— every boundary a subpath, so inner boundaries knock out islands — and
+SOLID/TRACE render filled, matching what the ezdxf Frontend draws
+(pattern fills approximate as solid fill; the authoritative pattern name
+rides along as ``data-pattern``). All other polygonal marks (CIRCLE
+tessellation, 3DFACE) are explicit ``fill="none"`` outlines carrying
+ALL rings — previously interior rings were dropped and SVG's implicit
+black fill painted outlines as blobs.
 """
 
 from __future__ import annotations
@@ -132,6 +141,12 @@ def _path_d(ring: np.ndarray, close: bool) -> str:
     return f"M {pts}" + (" Z" if close else "")
 
 
+def _rings_d(rings) -> str:
+    """All rings of one polygon as subpaths — interior rings (HATCH
+    islands / donut boundaries) are part of the mark, not dropped."""
+    return " ".join(_path_d(r, True) for r in rings)
+
+
 def _parse_row(row_json) -> dict | None:
     if row_json is None:
         return None
@@ -160,6 +175,26 @@ def _style_of(d: dict | None) -> str:
 # filled <text> mark carrying the content, height and rotation — the
 # content is the authoritative datum, the glyph shapes are the viewer's
 _TEXT_TYPES = frozenset(("TEXT", "MTEXT", "ATTRIB"))
+
+# entity types ezdxf's Frontend renders as FILLED shapes: HATCH is a fill
+# by definition (pattern fills render as solid-fill approximations, the
+# add-on's HatchPolicy.SHOW_SOLID behavior — the authoritative pattern
+# name is kept as data-pattern), and SOLID/TRACE are filled triangles/
+# quads in AutoCAD. Everything else polygonal (CIRCLE tessellation,
+# 3DFACE wireframe) is an outline.
+_FILLED_TYPES = frozenset(("HATCH", "SOLID", "TRACE"))
+
+
+def _fill_style_of(d: dict | None) -> str:
+    attrs = (d or {}).get("attributes") or {}
+    extra = (d or {}).get("extra_data") or {}
+    aci, hexc = effective_color(attrs, extra)
+    tag = "true" if aci < 0 else str(aci)
+    st = f' fill="#{hexc}" fill-rule="evenodd" stroke="none" data-aci="{tag}"'
+    pat = (extra or {}).get("pattern_name")
+    if pat:
+        st += f' data-pattern="{escape(str(pat), {chr(34): "&quot;"})}"'
+    return st
 
 
 def _text_mark(d: dict, x: float, y: float) -> str:
@@ -207,12 +242,25 @@ def _render_one(pdf: pd.DataFrame) -> pd.DataFrame:
             parts.append(f'<path fill="none" d="{_path_d(g, False)}"{st}/>')
             xs.extend(g[:, 0]), ys.extend(g[:, 1])
         elif code == POLYGON_Z:
-            parts.append(f'<path d="{_path_d(g[0], True)}"{st}/>')
-            xs.extend(g[0][:, 0]), ys.extend(g[0][:, 1])
+            if d and d.get("entity_type") in _FILLED_TYPES:
+                parts.append(f'<path{_fill_style_of(d)} d="{_rings_d(g)}"/>')
+            else:
+                parts.append(f'<path fill="none" d="{_rings_d(g)}"{st}/>')
+            for ring in g:
+                xs.extend(ring[:, 0]), ys.extend(ring[:, 1])
         elif code == MULTIPOLYGON_Z:
+            if d and d.get("entity_type") in _FILLED_TYPES:
+                # one filled mark per entity: every boundary is a subpath
+                # and evenodd makes inner boundaries islands — mirroring
+                # the single filled shape the ezdxf Frontend draws
+                dd = " ".join(_rings_d(poly) for poly in g)
+                parts.append(f'<path{_fill_style_of(d)} d="{dd}"/>')
+            else:
+                for poly in g:
+                    parts.append(f'<path fill="none" d="{_rings_d(poly)}"{st}/>')
             for poly in g:
-                parts.append(f'<path d="{_path_d(poly[0], True)}"{st}/>')
-                xs.extend(poly[0][:, 0]), ys.extend(poly[0][:, 1])
+                for ring in poly:
+                    xs.extend(ring[:, 0]), ys.extend(ring[:, 1])
     if xs:
         x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
         pad = 0.05 * max(x1 - x0, y1 - y0, 1.0)

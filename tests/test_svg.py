@@ -137,6 +137,62 @@ def test_svg_text_marks(spark):
     assert "<circle" in out["plainpt"] and "<text" not in out["plainpt"]
 
 
+def test_svg_fill_semantics(spark):
+    """r7: HATCH/SOLID/TRACE render FILLED (one evenodd mark per entity,
+    every boundary a subpath → islands knock holes), everything else
+    polygonal renders as a fill="none" outline carrying ALL rings —
+    mirroring what the ezdxf Frontend draws (reference
+    dxf_reader.py:724-750 delegates to Frontend/SVGBackend)."""
+    import json
+
+    from dxf_postgis_converter_spark.geometry.wkb import (
+        wkb_multipolygon, wkb_polygon,
+    )
+
+    sq = [(0, 0, 0), (10, 0, 0), (10, 10, 0), (0, 10, 0)]
+    inner = [(4, 4, 0), (6, 4, 0), (6, 6, 0), (4, 6, 0)]
+
+    def dj(etype, extra=None, attrs=None):
+        return json.dumps({"entity_type": etype, "attributes": attrs or {},
+                           "extra_data": extra or {}, "geometries": {}})
+
+    rows = [
+        # multi-boundary HATCH: outer square + island
+        ("hatch", wkb_multipolygon([sq, inner]),
+         dj("HATCH", {"pattern_name": "ANSI31"}, {"color": 1})),
+        # filled quad with a dashed linetype: dash must NOT land on fills
+        ("solid", wkb_polygon(sq), dj("SOLID", None,
+                                      {"color": 3, "linetype": "DASHED"})),
+        # tessellated outline keeps stroke styling, never black-fills
+        ("circle", wkb_polygon(sq), dj("CIRCLE", None, {"color": 5})),
+        # polygon WITH interior ring on an outline entity: both rings drawn
+        ("donut", wkb_polygon(sq, holes=[inner]), dj("3DFACE")),
+    ]
+    df = spark.createDataFrame(
+        [(d, bytearray(w), j) for d, w, j in rows],
+        "doc_id string, geometry_wkb binary, data_json string")
+    out = {r.doc_id: (r.svg, r.n_elements) for r in svg_previews(df).collect()}
+
+    hatch, n = out["hatch"]
+    assert n == 1 and hatch.count("<path") == 1  # ONE mark per HATCH
+    assert 'fill="#FF0000"' in hatch and 'fill-rule="evenodd"' in hatch
+    assert 'stroke="none"' in hatch and 'data-aci="1"' in hatch
+    assert 'data-pattern="ANSI31"' in hatch
+    assert hatch.count("M ") == 2  # island is a subpath of the same mark
+
+    solid, _ = out["solid"]
+    assert 'fill="#00FF00"' in solid and "stroke-dasharray" not in solid
+
+    circle, _ = out["circle"]
+    assert 'fill="none"' in circle and 'stroke="#0000FF"' in circle
+
+    donut, n = out["donut"]
+    assert n == 1 and donut.count("M ") == 2  # interior ring not dropped
+    assert 'fill="none"' in donut
+    for d, _ in out.values():
+        ET.fromstring(d)
+
+
 def test_text_mark_content_roundtrip_property():
     """Any XML-legal content survives mark → parse → .text unchanged
     (pure-function property, no Spark)."""
