@@ -131,3 +131,45 @@ def test_ex3_layer_table_and_blocks():
     resolved = [p for p in inserts
                 if p["extra_data"].get("block_entities")]
     assert len(resolved) > 100  # most INSERTs reference a defined block
+
+
+def test_ex3_insert_expansion_virtual_entities(spark):
+    """r7: INSERT virtual-entity expansion on the real AutoCAD file —
+    ex3's 181 INSERTs explode into their blocks' transformed contents
+    (ezdxf-Frontend behavior, dxf_reader.py:724-750) with zero error
+    rows, and every virtual geometry lands inside the expected drawing
+    extent window of its source insert points."""
+    from pyspark.sql import functions as F
+
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.operators.insert_expand import (
+        expand_inserts,
+    )
+    from dxf_postgis_converter_spark.sources.dxf_files import (
+        dxf_files_to_documents, scan_dxf_files,
+    )
+
+    docs = dxf_files_to_documents(
+        scan_dxf_files(spark, _EXAMPLES)).filter("doc_id like '%ex3%'")
+    ents = decode_documents(docs).cache()
+    try:
+        virt = expand_inserts(ents).cache()
+        try:
+            n = virt.count()
+            assert n > 100  # >100 resolved closures, each ≥1 entity
+            assert virt.filter("error is not null").count() == 0
+            # world placement: virtual bboxes sit within the (padded)
+            # envelope of the drawing's own insert points
+            env = ents.filter("entity_type = 'INSERT'").agg(
+                F.min("xmin"), F.max("xmax"),
+                F.min("ymin"), F.max("ymax")).first()
+            pad = 0.10 * max(env[1] - env[0], env[3] - env[2])
+            bad = virt.filter(
+                (F.col("xmin") < env[0] - pad) | (F.col("xmax") > env[1] + pad)
+                | (F.col("ymin") < env[2] - pad)
+                | (F.col("ymax") > env[3] + pad)).count()
+            assert bad == 0
+        finally:
+            virt.unpersist()
+    finally:
+        ents.unpersist()
