@@ -266,6 +266,14 @@ _TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
 # call — empty unless auto-enroll trimmed the window (ADVICE r4)
 _DISPLACED: list[str] = []
 
+# Registered + oracle'd + selfcheck-covered, but DEFERRED from window
+# auto-enrollment for ONE round: the r7 rotation is exactly saturated
+# (VERDICT r6 item 1 — all 50 slots owed to r5-latest queries, zero new
+# window entries), so a brand-new registration would evict a query past
+# its 2-round freshness bound. r8 MUST empty this set so the deferred
+# queries auto-enroll into the next driver window.
+_DEFER_AUTO_ENROLL = frozenset({"q_insert_expand"})
+
 _EVER_GATED = frozenset([
     # r5 auto-enrolled (rows landed in CORRECTNESS_r05) + r6 hand-fronted
     "q_knn_dense", "q_events_dedup_stream", "q_pii_redaction",
@@ -932,6 +940,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reachable_blocks(ents, edges)
     q["q_block_closure"] = q_block_closure
 
+    def q_insert_expand(spark, sf_dir):  # C14': virtual-entity expansion
+        """INSERT block closures → world-coordinate virtual entities
+        (operators/insert_expand.py, ezdxf-Frontend parity), aggregated
+        per (entity_type, depth): counts for every virtual type plus
+        decimal-stable sums of the point-geometry world coordinates
+        (TEXT insert points). The oracle recomputes both from the
+        corpus v4 closure constants (corpus.block_closures) and each
+        INSERT's affine — scale∘rotate∘translate — in plain SQL."""
+        from dxf_postgis_converter_spark.operators.insert_expand import (
+            expand_inserts,
+        )
+        virt = expand_inserts(_media(spark, sf_dir))
+        px = F.when(F.col("geom_type") == "POINT", F.col("xmin")) \
+            .otherwise(F.lit(0.0))
+        py = F.when(F.col("geom_type") == "POINT", F.col("ymin")) \
+            .otherwise(F.lit(0.0))
+        return (virt.groupBy("entity_type", "depth")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum(px.cast("decimal(18,6)")).cast("double"),
+                             2).alias("sum_px"),
+                     F.round(F.sum(py.cast("decimal(18,6)")).cast("double"),
+                             2).alias("sum_py")))
+    q["q_insert_expand"] = q_insert_expand
+
     def q_area_rect_outside(spark, sf_dir):  # P1 rect × OUTSIDE rule
         pts = _media(spark, sf_dir).filter(F.col("entity_type") == "POINT")
         return select_handles(pts, "rectangle", "outside", (1000.0, 3000.0, 1000.0, 3000.0))
@@ -1360,7 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampled head. Displaced names are recorded (module global) so the
     # window composition stays explicit and testable; the assert keeps
     # displacement confined to the expendable changed-paths tail.
-    unseen = [k for k in q if k not in _EVER_GATED and k not in front]
+    unseen = [k for k in q if k not in _EVER_GATED and k not in front
+              and k not in _DEFER_AUTO_ENROLL]
     global _DISPLACED
     _DISPLACED = front[GATE_SAMPLE - len(unseen):] if unseen else []
     assert len(unseen) <= 9, (
@@ -2036,6 +2069,51 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT c.doc_id, e.child FROM closure c JOIN edges e ON c.block = e.parent)
         SELECT doc_id, block FROM closure
+    """
+
+    # C14' virtual-entity expansion: the corpus v4 closures are literal
+    # constants (corpus.block_closures docstring), so each INSERT's
+    # virtual entities — type, depth, and the world position of every
+    # point-geometry member — are a pure function of the insert's affine
+    # params. FRAME_B's depth-2 TEXT composes the fixed child transform
+    # (insert (1,1), rot 90°, scale 0.8 applied to FRAME_A's local TEXT
+    # at (0.5,0.5)) into block-local (0.6, 1.4) before the row's affine.
+    o["q_insert_expand"] = f"""
+        WITH ins AS (
+          SELECT json_extract_string(NULLIF(media_ref,''),'$.extra_data.block_name') AS bn,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.insert[0]') AS DOUBLE) AS ix,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.insert[1]') AS DOUBLE) AS iy,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.xscale') AS DOUBLE) AS sx,
+                 CAST(json_extract(NULLIF(media_ref,''),'$.geometries.yscale') AS DOUBLE) AS sy,
+                 radians(CAST(json_extract(NULLIF(media_ref,''),'$.geometries.rotation') AS DOUBLE)) AS th
+          FROM ({_SQL_MEDIA}) WHERE entity_type = 'INSERT'),
+        virt AS (
+          SELECT 'LINE' AS entity_type, 1 AS depth, 0.0 AS px, 0.0 AS py
+            FROM ins WHERE bn = 'DOOR'
+          UNION ALL SELECT 'ARC', 1, 0.0, 0.0 FROM ins WHERE bn = 'DOOR'
+          UNION ALL SELECT 'LWPOLYLINE', 1, 0.0, 0.0 FROM ins WHERE bn = 'WINDOW'
+          UNION ALL SELECT 'CIRCLE', 1, 0.0, 0.0 FROM ins WHERE bn = 'BOLT_M12'
+          UNION ALL SELECT 'LWPOLYLINE', 2, 0.0, 0.0 FROM ins WHERE bn = 'BOLT_M12'
+          UNION ALL SELECT 'LWPOLYLINE', 1, 0.0, 0.0 FROM ins WHERE bn = 'FRAME_A'
+          UNION ALL SELECT 'TEXT', 1,
+                 ix + cos(th)*sx*0.5 - sin(th)*sy*0.5,
+                 iy + sin(th)*sx*0.5 + cos(th)*sy*0.5
+            FROM ins WHERE bn = 'FRAME_A'
+          UNION ALL SELECT 'LWPOLYLINE', 2, 0.0, 0.0 FROM ins WHERE bn = 'FRAME_B'
+          UNION ALL SELECT 'TEXT', 2,
+                 ix + cos(th)*sx*0.6 - sin(th)*sy*1.4,
+                 iy + sin(th)*sx*0.6 + cos(th)*sy*1.4
+            FROM ins WHERE bn = 'FRAME_B'
+          UNION ALL SELECT 'LINE', 1, 0.0, 0.0 FROM ins WHERE bn = 'FRAME_B'
+          UNION ALL SELECT 'SOLID', 1, 0.0, 0.0 FROM ins WHERE bn = 'NORTH_ARROW'
+          UNION ALL SELECT 'TEXT', 1,
+                 ix - sin(th)*sy*1.1,
+                 iy + cos(th)*sy*1.1
+            FROM ins WHERE bn = 'NORTH_ARROW')
+        SELECT entity_type, depth, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(px AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_px,
+               ROUND(CAST(SUM(CAST(py AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_py
+        FROM virt GROUP BY entity_type, depth
     """
 
     o["q_area_rect_outside"] = f"""

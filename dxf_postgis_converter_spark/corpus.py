@@ -48,7 +48,10 @@ SEED = 42
 # v3: star-zone params_json carries the UNROUNDED ring coords (ADVICE r4:
 # 6dp rounding let a params-rebuilt oracle classify points within ~1e-6
 # of a star edge differently from the engine's exact-WKB ray cast)
-CORPUS_VERSION = 3
+# v4: INSERT spans embed deterministic block-definition closures
+# (block_closures()) so C14' virtual-entity expansion is exercised —
+# and gateable — on the synthetic corpus, not only on real ingests
+CORPUS_VERSION = 4
 EXTENT = 8192.0  # world is [0, EXTENT)^2 — power of two for the quadtree grid
 HOT_FRACTION = 0.05
 HOT_WINDOW = (1000.0, 1000.0, 1080.0, 1080.0)  # dense CAD sheet extent
@@ -82,6 +85,106 @@ TEXT_WORDS_RU = ["отметка", "фундамент", "уровень", "ос
                  "арматура", "бетон", "сталь", "класс", "болт", "шов"]
 
 BLOCK_NAMES = ["DOOR", "WINDOW", "BOLT_M12", "FRAME_A", "FRAME_B", "TREE", "NORTH_ARROW"]
+
+_BLOCK_CLOSURES: dict[str, list] | None = None
+
+
+def block_closures() -> dict[str, list]:
+    """Deterministic block-definition closures for the corpus' INSERTs,
+    serialized through the REAL ingest serializer
+    (sources.dxf_files.serialize_block_entities) so each payload is
+    byte-identical to what a real-file ingest of the same blocks embeds
+    (dxf_reader.py:369-424 contract) — and therefore a fixed point of
+    the FILE-export → tag-parse → re-serialize chain the round-trip
+    gates exercise. Content (v4):
+
+    - DOOR: LINE (BYBLOCK color) + quarter-circle ARC swing
+    - WINDOW: closed LWPOLYLINE sill rectangle
+    - BOLT_M12: CIRCLE + nested INSERT(HEX_NUT → closed LWPOLYLINE) —
+      a depth-2 closure on every BOLT_M12 insert
+    - FRAME_A: LWPOLYLINE border + TEXT label
+    - FRAME_B: INSERT(FRAME_A, scaled/rotated) + LINE diagonal — nesting
+      through a name that is itself in BLOCK_NAMES
+    - NORTH_ARROW: SOLID triangle + TEXT 'N' with BYBLOCK color
+    - TREE: intentionally UNDEFINED → empty closure (the unresolved-
+      block path stays live in the corpus)
+    """
+    global _BLOCK_CLOSURES
+    if _BLOCK_CLOSURES is None:
+        # lazy: dxf_files imports corpus for the span schema
+        from .sources.dxf_files import serialize_block_entities
+        from .sources.dxf_parser import _COLLECTION_KEYS
+
+        def t(etype, snapshot, handle, layer="0"):
+            snapshot = dict(snapshot, layer=layer)
+            dxfattribs = {k: v for k, v in snapshot.items()
+                          if k not in _COLLECTION_KEYS}
+            return (etype, dxfattribs, snapshot, handle, layer)
+
+        defs = {
+            "DOOR": [
+                t("LINE", {"start": [0.0, 0.0, 0.0], "end": [0.9, 0.0, 0.0],
+                           "color": 0}, "B01"),
+                t("ARC", {"center": [0.0, 0.0, 0.0], "radius": 0.9,
+                          "start_angle": 0.0, "end_angle": 90.0}, "B02"),
+            ],
+            "WINDOW": [
+                t("LWPOLYLINE", {"points": [[0.0, 0.0, 0.0, 0.0, 0.0],
+                                            [1.2, 0.0, 0.0, 0.0, 0.0],
+                                            [1.2, 0.1, 0.0, 0.0, 0.0],
+                                            [0.0, 0.1, 0.0, 0.0, 0.0]],
+                                 "is_closed": True, "elevation": 0.0,
+                                 "const_width": 0.0}, "B03"),
+            ],
+            "BOLT_M12": [
+                t("CIRCLE", {"center": [0.0, 0.0, 0.0], "radius": 0.6},
+                  "B04"),
+                t("INSERT", {"insert": [0.0, 0.0, 0.0], "name": "HEX_NUT",
+                             "xscale": 1.0, "yscale": 1.0, "zscale": 1.0,
+                             "rotation": 30.0}, "B05"),
+            ],
+            "HEX_NUT": [
+                t("LWPOLYLINE", {"points": [[1.0, 0.0, 0.0, 0.0, 0.0],
+                                            [0.5, 0.875, 0.0, 0.0, 0.0],
+                                            [-0.5, 0.875, 0.0, 0.0, 0.0],
+                                            [-1.0, 0.0, 0.0, 0.0, 0.0],
+                                            [-0.5, -0.875, 0.0, 0.0, 0.0],
+                                            [0.5, -0.875, 0.0, 0.0, 0.0]],
+                                 "is_closed": True, "elevation": 0.0,
+                                 "const_width": 0.0}, "B06"),
+            ],
+            "FRAME_A": [
+                t("LWPOLYLINE", {"points": [[0.0, 0.0, 0.0, 0.0, 0.0],
+                                            [10.0, 0.0, 0.0, 0.0, 0.0],
+                                            [10.0, 7.0, 0.0, 0.0, 0.0],
+                                            [0.0, 7.0, 0.0, 0.0, 0.0]],
+                                 "is_closed": True, "elevation": 0.0,
+                                 "const_width": 0.0}, "B07"),
+                t("TEXT", {"insert": [0.5, 0.5, 0.0], "text": "FRAME",
+                           "height": 0.5, "rotation": 0.0, "oblique": 0.0,
+                           "style": "Standard", "halign": 0, "valign": 0},
+                  "B08"),
+            ],
+            "FRAME_B": [
+                t("INSERT", {"insert": [1.0, 1.0, 0.0], "name": "FRAME_A",
+                             "xscale": 0.8, "yscale": 0.8, "zscale": 1.0,
+                             "rotation": 90.0}, "B09"),
+                t("LINE", {"start": [0.0, 0.0, 0.0], "end": [10.0, 7.0, 0.0]},
+                  "B0A"),
+            ],
+            "NORTH_ARROW": [
+                t("SOLID", {"vtx0": [-0.2, 0.0, 0.0], "vtx1": [0.2, 0.0, 0.0],
+                            "vtx2": [0.0, 1.0, 0.0], "vtx3": [0.0, 1.0, 0.0]},
+                  "B0B"),
+                t("TEXT", {"insert": [0.0, 1.1, 0.0], "text": "N",
+                           "height": 0.3, "rotation": 0.0, "oblique": 0.0,
+                           "style": "Standard", "halign": 0, "valign": 0,
+                           "color": 0}, "B0C"),
+            ],
+        }
+        _BLOCK_CLOSURES = {name: serialize_block_entities(name, defs)
+                           for name in BLOCK_NAMES}
+    return _BLOCK_CLOSURES
 
 SPANS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -267,7 +370,7 @@ def build_document(index: int) -> tuple[str, list]:
         extra = {"dxftype": etype, "layer_name": layer}
         if etype == "INSERT":
             extra["block_name"] = geoms["name"]
-            extra["block_entities"] = []  # depth handled via block defs table later
+            extra["block_entities"] = block_closures().get(geoms["name"], [])
         ref = canonical_media_ref(etype, f"{etype}_{off}", handle, layer, attributes, geoms, extra)
         spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
     return did, spans

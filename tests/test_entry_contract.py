@@ -63,7 +63,15 @@ def test_new_registrations_enter_the_gate_window():
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    unseen = [k for k in qs if k not in e._EVER_GATED]
+    # r7 exception: _DEFER_AUTO_ENROLL names sit OUT of the window for one
+    # round (the rotation is exactly saturated — VERDICT r6 item 1) but
+    # must still be registered with a value-level oracle so selfcheck
+    # covers them every run
+    for k in e._DEFER_AUTO_ENROLL:
+        assert k in qs and k in e.oracle_sql(), k
+        assert qs.index(k) >= 50, (k, qs.index(k))
+    unseen = [k for k in qs
+              if k not in e._EVER_GATED and k not in e._DEFER_AUTO_ENROLL]
     for k in unseen:
         assert qs.index(k) < 50, (k, qs.index(k))
     # the hand-rotated front itself stays inside the window even when a
@@ -88,7 +96,8 @@ def test_auto_enroll_trims_window_to_gate_sample(monkeypatch):
     import __spark_entry__ as e
 
     base_qs = list(e.queries())
-    base_unseen = [k for k in base_qs if k not in e._EVER_GATED]
+    base_unseen = [k for k in base_qs if k not in e._EVER_GATED
+                   and k not in e._DEFER_AUTO_ENROLL]
     baseline = base_qs[:50]
     # shrink the ledger so one existing registration looks brand-new —
     # equivalent to adding a query without touching _EVER_GATED
