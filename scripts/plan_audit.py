@@ -102,6 +102,30 @@ def main() -> int:
           in p["formatted"])],
         excerpt_markers=("PushedFilters", "ReadSchema"))
 
+    # 1b. INSERT virtual-entity expansion over a REAL entities parquet:
+    # the INSERT filter and 4-column projection must reach the scan, and
+    # the whole operator is one Python crossing with no shuffle
+    epq = os.path.join(tmp, "entities")
+    entities.write.mode("overwrite").parquet(epq)
+    from dxf_postgis_converter_spark.operators.insert_expand import (
+        expand_inserts,
+    )
+    all_ok &= audit(
+        sections, "insert_expand (entities parquet → virtual entities)",
+        expand_inserts(spark.read.parquet(epq)),
+        [("exactly ONE Arrow-batched Python crossing (MapInPandas)",
+          lambda p: p["simple"].count("MapInPandas") == 1),
+         ("narrow plan — ZERO exchanges scan→virtual entities",
+          lambda p: "Exchange" not in p["simple"]),
+         ("entity_type = INSERT pushed to the parquet scan",
+          lambda p: "EqualTo(entity_type,INSERT)" in p["formatted"]),
+         ("column pruning: scan reads only the 4 expansion inputs + the "
+          "filter column (entity_type)",
+          lambda p: "ReadSchema: struct<doc_id:string,span_offset:int,"
+          "handle:string,entity_type:string,data_json:string>"
+          in p["formatted"])],
+        excerpt_markers=("PushedFilters", "ReadSchema"))
+
     # 2. PIP broadcast path: the 10^12-row probe side never shuffles
     all_ok &= audit(
         sections, "point-in-polygon join (broadcast cover path)",
