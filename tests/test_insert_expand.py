@@ -234,3 +234,73 @@ def test_expansion_composes_with_svg_previews(spark):
     svg = out["d1"]
     assert "<circle" in svg          # the INSERT point mark
     assert 'd="M 50.000 50.000 L 51.000 50.000"' in svg  # block LINE, placed
+
+
+# ---------------------------------------------------------------------------
+# property-based: the nested transform chain vs an independent 4x4-matrix
+# reference (standard homogeneous affine composition, computed with numpy
+# only — no shared code with the operator)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_coord = st.floats(min_value=-1e4, max_value=1e4,
+                   allow_nan=False, allow_infinity=False)
+_scale = st.floats(min_value=0.1, max_value=10.0,
+                   allow_nan=False, allow_infinity=False)
+_angle = st.floats(min_value=-720.0, max_value=720.0,
+                   allow_nan=False, allow_infinity=False)
+_xform = st.tuples(_coord, _coord, _coord, _scale, _scale, _scale, _angle)
+
+
+def _mat44(ix, iy, iz, sx, sy, sz, rot):
+    import numpy as np
+    c, s = math.cos(math.radians(rot)), math.sin(math.radians(rot))
+    m = np.array([[c * sx, -s * sy, 0.0, ix],
+                  [s * sx, c * sy, 0.0, iy],
+                  [0.0, 0.0, sz, iz],
+                  [0.0, 0.0, 0.0, 1.0]])
+    return m
+
+
+@settings(max_examples=200, deadline=2000)
+@given(parent=_xform, child=_xform, pt=st.tuples(_coord, _coord, _coord))
+def test_nested_transform_matches_homogeneous_matrix_reference(
+        parent, child, pt):
+    """expand_payload's composed placement of a depth-2 POINT equals
+    M_parent @ M_child @ p computed with plain homogeneous matrices."""
+    import numpy as np
+
+    def ins(xf, inner):
+        ix, iy, iz, sx, sy, sz, rot = xf
+        return {"insert": [ix, iy, iz], "xscale": sx, "yscale": sy,
+                "zscale": sz, "rotation": rot}, inner
+
+    cg, _ = ins(child, None)
+    nested = _be("INSERT", dict(cg, name="SUB"), block_name="SUB",
+                 block_entities=[_be("POINT", {"location": list(pt)})])
+    pg, _ = ins(parent, None)
+    payload = {
+        "entity_type": "INSERT", "name": "", "handle": "H", "layer": "0",
+        "attributes": {}, "geometries": dict(pg, name="BLK"),
+        "extra_data": {"block_name": "BLK", "block_entities": [nested]},
+    }
+    recs = expand_payload(payload)
+    assert len(recs) == 1
+    got = parse_wkb(recs[0][4])[1][0]
+    want = (_mat44(*parent) @ _mat44(*child) @ np.array([*pt, 1.0]))[:3]
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-6)
+
+
+@settings(max_examples=100, deadline=2000)
+@given(xf=_xform)
+def test_single_level_matches_matrix_reference(xf):
+    import numpy as np
+
+    ix, iy, iz, sx, sy, sz, rot = xf
+    payload = _payload([_be("POINT", {"location": [3.0, -2.0, 1.0]})],
+                       insert=(ix, iy, iz), xscale=sx, yscale=sy,
+                       zscale=sz, rotation=rot)
+    got = parse_wkb(expand_payload(payload)[0][4])[1][0]
+    want = (_mat44(*xf) @ np.array([3.0, -2.0, 1.0, 1.0]))[:3]
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-6)

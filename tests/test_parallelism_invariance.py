@@ -131,3 +131,22 @@ def test_tile_pyramid_partitioning_invariant(entities_df):
         got = _multiset(tile_pyramid_counts(layout(entities_df),
                                             z_max=6, z_min=3))
         assert got == base
+
+
+def test_insert_expand_partitioning_invariant(entities_df):
+    """r7: virtual-entity expansion is per-row (zero shuffle), so its
+    result multiset must be identical under every adversarial layout —
+    the data_json column pins geometry + attributes value-level."""
+    from dxf_postgis_converter_spark.operators.insert_expand import (
+        expand_inserts,
+    )
+
+    def run(layout):
+        return _multiset(expand_inserts(layout(entities_df)).select(
+            "doc_id", "insert_handle", "block_path", "depth",
+            "entity_type", "geom_type", "data_json"))
+
+    base = run(LAYOUTS[0])
+    assert sum(base.values()) > 0  # corpus v4 closures make this non-empty
+    for layout in LAYOUTS[1:]:
+        assert run(layout) == base
