@@ -160,7 +160,8 @@ def main() -> None:
     # stages that read the persisted entities table — when only e.g.
     # minhash/ann are under test, the decode prep is skipped entirely
     _ENTITY_STAGES = {"pip_join", "pip_join_salted", "tile_pyramid",
-                      "area_select", "knn_join", "reconstruct"}
+                      "area_select", "knn_join", "reconstruct",
+                      "insert_expand"}
     need_entities = STAGES is None or bool(STAGES & _ENTITY_STAGES)
 
     # stage 1 — decode: spans → entities table (the Arrow-batched UDF path);
@@ -242,6 +243,17 @@ def main() -> None:
     from dxf_postgis_converter_spark.operators.reconstruct import reconstruct_documents
     timed("reconstruct", lambda: _force(
         reconstruct_documents(ents, text_spans(docs))))
+
+    # stage 6b — INSERT virtual-entity expansion (C14', new in r7):
+    # embedded block closures → world-coordinate virtual entities, one
+    # zero-shuffle mapInPandas over the stored table's INSERT rows.
+    # NOTE for cross-round total comparisons: this stage first appears in
+    # r7 (~1.1s at sf0.1) — compare per-stage walls, or subtract it from
+    # the total against r6-and-earlier artifacts.
+    from dxf_postgis_converter_spark.operators.insert_expand import (
+        expand_inserts,
+    )
+    timed("insert_expand", lambda: _force(expand_inserts(ents)))
 
     # fused end-to-end job — decode → PIP join → per-(zone, tile) rollup as
     # ONE action (no intermediate store, no per-stage job scheduling):
