@@ -304,3 +304,37 @@ def test_single_level_matches_matrix_reference(xf):
     got = parse_wkb(expand_payload(payload)[0][4])[1][0]
     want = (_mat44(*xf) @ np.array([3.0, -2.0, 1.0, 1.0]))[:3]
     assert np.allclose(got, want, rtol=1e-9, atol=1e-6)
+
+
+def test_expand_inserts_streaming_twin(spark, docs_df, tmp_path_factory):
+    """Stateless per-row operator ⇒ the SAME expand_inserts call graph
+    runs unchanged on a Structured Streaming source (decode → expand in
+    micro-batches, availableNow) and its appended output equals the
+    batch result multiset — no operator-side changes needed."""
+    from pyspark.sql import functions as F
+
+    from dxf_postgis_converter_spark.functions.decode import decode_documents
+    from dxf_postgis_converter_spark.streaming.pipeline import (
+        read_document_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("docs_expand_stream"))
+    ck = str(tmp_path_factory.mktemp("ck_expand"))
+    docs_df.repartition(6).write.mode("overwrite").parquet(src)
+
+    cols = ["doc_id", "insert_handle", "block_path", "depth",
+            "entity_type", "geom_type", "data_json"]
+    stream = expand_inserts(decode_documents(
+        read_document_stream(spark, src, max_files_per_trigger=2))) \
+        .select(*cols)
+    q = (stream.writeStream.format("memory").queryName("expand_stream")
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM expand_stream").collect()
+
+    want = expand_inserts(
+        decode_documents(spark.read.parquet(src))).select(*cols).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0  # corpus v4 closures guarantee virtual rows
