@@ -221,15 +221,21 @@ def _expand_batches(batches, max_depth: int):
         for doc_id, off, handle, dj in zip(
                 pdf["doc_id"], pdf["span_offset"], pdf["handle"],
                 pdf["data_json"]):
+            off = None if off is None else int(off)
             if dj is None:
-                continue
+                continue  # decode already reported this row's error
             try:
                 payload = _loads(dj)
-            except Exception:
+            except Exception as e:
+                # same no-silent-drops contract as decode: a corrupt
+                # payload yields an ERROR record, not a vanished insert
+                rows.append((doc_id, off, handle, "", 0, "INSERT", "",
+                             None, None, None, None, None, None, None,
+                             f"INSERT payload unparseable: "
+                             f"{type(e).__name__}: {e}"))
                 continue
             for rec in expand_payload(payload, max_depth=max_depth):
-                rows.append((doc_id, None if off is None else int(off),
-                             handle) + rec)
+                rows.append((doc_id, off, handle) + rec)
         yield pd.DataFrame(rows, columns=cols)
 
 

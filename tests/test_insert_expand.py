@@ -338,3 +338,20 @@ def test_expand_inserts_streaming_twin(spark, docs_df, tmp_path_factory):
     key = lambda r: tuple(r)
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(want) > 0  # corpus v4 closures guarantee virtual rows
+
+
+def test_corrupt_data_json_yields_error_record(spark):
+    """A corrupt INSERT payload must surface as an ERROR row (decode's
+    no-silent-drops contract), never as a vanished insert."""
+    rows = [
+        ("d1", 0, "A1", "{not json", "INSERT"),
+        ("d1", 1, "A2",
+         json.dumps(_payload(
+             [_be("POINT", {"location": [0.0, 0.0, 0.0]})])), "INSERT"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, span_offset int, handle string, "
+              "data_json string, entity_type string")
+    got = {r.insert_handle: r for r in expand_inserts(df).collect()}
+    assert "unparseable" in got["A1"].error and got["A1"].geometry_wkb is None
+    assert got["A2"].error is None and got["A2"].entity_type == "POINT"
