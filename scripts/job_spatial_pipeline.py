@@ -51,9 +51,31 @@ def main() -> None:
     )
     from dxf_postgis_converter_spark.sources.snapshot_store import SnapshotTable
 
+    # text twin of the JSON stage lines (reference report contract —
+    # plans/report.py); written to <out>/report.txt even on failure
+    from dxf_postgis_converter_spark.plans.report import PipelineReport
+    report = PipelineReport("DXF import")
+
+    def _write_report() -> None:
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "report.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write(report.text() + "\n")
+
+    def _fail_hook(exc_type, exc, tb):  # failure ⇒ ERROR line, no footer
+        report.error(f"{exc_type.__name__}: {exc}")
+        try:
+            _write_report()
+        except OSError:
+            pass
+        sys.__excepthook__(exc_type, exc, tb)
+
+    sys.excepthook = _fail_hook
+
     lineage = LineageLog(os.path.join(args.out, "lineage"))
     docs = load_documents(spark, args.sf)
     zones = load_zones(spark, args.sf)
+    report.step("Source tables loaded", sf=args.sf)
 
     decode_tf = lambda df: decode_documents(df, keep_media_ref=False)  # noqa: E731
     if args.snapshot is not None:  # caller-tagged lineage (legacy shape)
@@ -74,6 +96,8 @@ def main() -> None:
             out_dir=os.path.join(args.out, "entities"), lineage=lineage,
             n_buckets=args.n_buckets)
     print(json.dumps(s1))
+    report.step("Documents decoded to entities", rows=s1["rows"],
+                buckets=s1["processed_buckets"])
 
     ents = spark.read.parquet(os.path.join(args.out, "entities"))
     pts = ents.filter(F.col("geom_type") == "POINT").select(
@@ -83,11 +107,13 @@ def main() -> None:
     pip.write.mode("overwrite").parquet(os.path.join(args.out, "zone_counts"))
     n_zones = spark.read.parquet(os.path.join(args.out, "zone_counts")).count()
     print(json.dumps({"stage": "pip", "zones_with_hits": n_zones}))
+    report.step("Point-in-polygon join", zones_with_hits=n_zones)
 
     tiles = tile_pyramid_counts(ents.filter(F.col("xmin").isNotNull()), z_max=8, z_min=4)
     tiles.write.mode("overwrite").parquet(os.path.join(args.out, "tile_counts"))
     n_tiles = spark.read.parquet(os.path.join(args.out, "tile_counts")).count()
     print(json.dumps({"stage": "tiles", "tiles": n_tiles}))
+    report.step("Tile pyramid rollup", tiles=n_tiles)
 
     # FILE-mode export: every document back out as a real .dxf drawing
     # (sources/dxf_export.py — one shuffle-free Python stage)
@@ -104,6 +130,8 @@ def main() -> None:
                       "entities": int(ex["entities"] or 0),
                       "skipped": int(ex["skipped"] or 0),
                       "bytes": int(ex["bytes"] or 0)}))
+    report.step("Documents exported as .dxf", files=ex["files"],
+                skipped=int(ex["skipped"] or 0))
 
     # benchmark contamination (GPT-3 13-gram rule) over the documents'
     # concatenated text spans: the benchmark side is derived 13-token
@@ -130,11 +158,14 @@ def main() -> None:
     print(json.dumps({"stage": "contamination", "pairs": int(cs["pairs"]),
                       "flagged_docs": int(cs["docs"]),
                       "bench_items_hit": int(cs["bench_items"])}))
+    report.step("Benchmark contamination sweep", pairs=int(cs["pairs"]),
+                flagged_docs=int(cs["docs"]))
 
     print(json.dumps({"status": "ok", "entities": s1["rows"],
                       "zones_with_hits": n_zones, "tiles": n_tiles,
                       "exported_files": ex["files"],
                       "contaminated_pairs": int(cs["pairs"])}))
+    _write_report()
     spark.stop()
 
 
