@@ -2078,6 +2078,13 @@ def oracle_sql() -> dict[str, str]:
     # params. FRAME_B's depth-2 TEXT composes the fixed child transform
     # (insert (1,1), rot 90°, scale 0.8 applied to FRAME_A's local TEXT
     # at (0.5,0.5)) into block-local (0.6, 1.4) before the row's affine.
+    # Cross-engine float stability: Python-math trig + numpy matmul
+    # (Spark side) vs DuckDB libm + reassociated SQL arithmetic differ by
+    # ≤~1e-8 abs per value; the DECIMAL(18,6) per-value quantization can
+    # flip a few dozen values by ±1e-6 (accumulated sum drift ~1e-5),
+    # which the final 2-dp SUM rounding absorbs — the deterministic
+    # sf0.01 sums sit ≥1.75e-4 from their nearest 0.005 boundary
+    # (measured r7), a ~17x margin.
     o["q_insert_expand"] = f"""
         WITH ins AS (
           SELECT json_extract_string(NULLIF(media_ref,''),'$.extra_data.block_name') AS bn,
