@@ -221,3 +221,84 @@ def test_text_mark_content_roundtrip_property():
         assert float(el.attrib["font-size"]) > 0
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# property-based: any finite geometry mix renders to well-formed XML with
+# one mark per geometry (pure applyInPandas kernel, no Spark session)
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_c = st.floats(min_value=-1e6, max_value=1e6,
+               allow_nan=False, allow_infinity=False)
+_pt3 = st.tuples(_c, _c, _c)
+_ring = st.lists(_pt3, min_size=3, max_size=8)
+
+
+@st.composite
+def _geom(draw):
+    import json as _json
+
+    from dxf_postgis_converter_spark.geometry.wkb import (
+        wkb_linestring, wkb_multipolygon, wkb_point, wkb_polygon,
+    )
+    # XML 1.0 forbids most control chars even escaped — the corpus/DXF
+    # text path never produces them, so the fuzz stays in legal space
+    _xmltext = st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FA1D,
+                                              exclude_categories=("Cs",)),
+                       max_size=20)
+    kind = draw(st.sampled_from(["point", "line", "poly", "mpoly",
+                                 "hatch", "text"]))
+    etype, extra, marks = "POINT", {}, 1
+    if kind == "point":
+        x, y, z = draw(_pt3)
+        wkb = wkb_point(x, y, z)
+    elif kind == "line":
+        wkb = wkb_linestring(draw(st.lists(_pt3, min_size=2, max_size=8)))
+        etype = "LINE"
+    elif kind == "poly":
+        wkb = wkb_polygon(draw(_ring))
+        etype = "CIRCLE"
+    elif kind == "mpoly":
+        rings = draw(st.lists(_ring, min_size=1, max_size=3))
+        wkb = wkb_multipolygon(rings)
+        etype = "3DFACE"
+        marks = len(rings)  # non-filled mpoly: one outline mark per polygon
+    elif kind == "hatch":
+        wkb = wkb_multipolygon(draw(st.lists(_ring, min_size=1, max_size=3)))
+        etype, extra = "HATCH", {"pattern_name": draw(_xmltext)}
+    else:
+        x, y, z = draw(_pt3)
+        wkb = wkb_point(x, y, z)
+        etype = "TEXT"
+        extra = {"text_content": draw(_xmltext),
+                 "height": draw(st.floats(min_value=0.0, max_value=100.0,
+                                          allow_nan=False)),
+                 "rotation": draw(st.floats(min_value=-360, max_value=360,
+                                            allow_nan=False))}
+    dj = _json.dumps({"entity_type": etype,
+                      "attributes": {"color": draw(st.integers(0, 256)),
+                                     "linetype": draw(st.sampled_from(
+                                         ["CONTINUOUS", "DASHED", "BYLAYER"]))},
+                      "extra_data": extra, "geometries": {}})
+    return bytes(wkb), dj, marks
+
+
+@settings(max_examples=150, deadline=4000)
+@given(geoms=st.lists(_geom(), min_size=1, max_size=10))
+def test_svg_render_fuzz_wellformed(geoms):
+    from dxf_postgis_converter_spark.operators.svg import _render_one
+
+    pdf = pd.DataFrame({"doc_id": ["d"] * len(geoms),
+                        "geometry_wkb": [g[0] for g in geoms],
+                        "data_json": [g[1] for g in geoms]})
+    out = _render_one(pdf)
+    assert len(out) == 1
+    svg, n = out.iloc[0]["svg"], int(out.iloc[0]["n_elements"])
+    root = ET.fromstring(svg)          # well-formed XML, always
+    assert n == sum(g[2] for g in geoms)  # n_elements counts SVG marks
+    assert "viewBox" in root.attrib
+    # every coordinate the renderer emitted is finite (no nan/inf leaks)
+    assert "nan" not in svg and "inf" not in svg
