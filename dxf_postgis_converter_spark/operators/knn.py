@@ -559,11 +559,17 @@ def knn_join(
                              else probes.count())
             strategy = ("oneshot" if n_probes_auto >= auto_oneshot_min
                         else "ladder")
+            # forward the measured count: the ladder's FIRST round has no
+            # by-depth state yet, and without a probe count it defaulted
+            # to broadcasting the (much larger) target side — a ~1M-row
+            # broadcast build per call that the 2k-probe bench path paid
+            # for nothing (guide §3.1: broadcast the side that is small)
             out = knn_join(
                 probes, targets, k, res=res, probe_id_col=probe_id_col,
                 target_id_col=target_id_col, x_col=x_col, y_col=y_col,
                 max_rounds=max_rounds, fine_res=fine_res,
-                hot_cell_threshold=hot_cell_threshold, strategy=strategy)
+                hot_cell_threshold=hot_cell_threshold, strategy=strategy,
+                n_probes_hint=n_probes_auto)
             _LAST_SCHEDULE.insert(0, ("auto", [n_probes_auto]))
             return out
     if strategy == "oneshot":
@@ -805,10 +811,14 @@ def knn_join(
         # partitions in place. Checkpointed sources defeat Catalyst's
         # size estimate, so the driver-side counts make the call.
         est_rows = (active_at(res_i - res) if res_i != res
-                    else sum(unres_by_depth.values())) * (2 * r + 1) ** 2
+                    else sum(unres_by_depth.values())
+                    or (int(n_probes_hint) if n_probes_hint is not None
+                        else 0)) * (2 * r + 1) ** 2
         t_side = t.select(target_id_col, "t_x", "t_y",
                           F.col(f"cell_{res_i}").alias("cell"))
-        if unres_by_depth and est_rows <= 400_000:
+        if est_rows > 0 and est_rows <= 400_000:
+            # known-small probe ring (by-depth state counts, or the auto
+            # dispatch's probe count on the first round): broadcast it
             exploded = F.broadcast(exploded)
         elif n_targets is not None and n_targets <= 1_500_000:
             # neither side shuffles: a ~1M-target table is ≲50 MB keyed

@@ -100,6 +100,123 @@ def _rebuild_one(dj: str) -> str:
     })
 
 
+def _risky_rows(outs: list, n_rows: int) -> set[int]:
+    """Row indices whose serialized bytes contain a float-risk pattern
+    (the _FLOAT_RISK regex), found by ONE vectorized scan over the
+    batch's concatenated bytes instead of n_rows regex searches — the
+    per-row regex was ~half the rebuild stage's Python time (measured
+    11 µs/row over 615-byte rows). Cross-row false positives are
+    impossible: every row starts '{' and ends '}', so neither pattern
+    can span a boundary. A false positive would only cost the stdlib
+    re-dump on that row; the masks below match the regex exactly."""
+    import numpy as np
+
+    buf = b"".join(outs)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if len(a) < 3:
+        return set()
+    # exponent notation \d[eE][-+]?\d: gather e/E POSITIONS (two cheap
+    # full passes), then check neighbours by fancy-indexing only those —
+    # 'e' occurs ~once per 40 bytes in this JSON, so the neighbour work
+    # is ~2% of a full-width mask cascade (which measured SLOWER than
+    # the per-row regex it replaced)
+    pe = np.flatnonzero((a == 101) | (a == 69))
+    pe = pe[(pe > 0) & (pe < len(a) - 1)]
+    hits = []
+    if pe.size:
+        prev, nxt = a[pe - 1], a[pe + 1]
+        isdig = (prev >= 48) & (prev <= 57)
+        hits.append(pe[isdig & (nxt >= 48) & (nxt <= 57)])
+        p2 = pe[isdig & ((nxt == 43) | (nxt == 45))]
+        p2 = p2[p2 < len(a) - 2]
+        if p2.size:
+            n2 = a[p2 + 2]
+            hits.append(p2[(n2 >= 48) & (n2 <= 57)])
+    # fixed notation below 1e-4: the literal "0.0000" via memchr-fast find
+    i = buf.find(b"0.0000")
+    lit = []
+    while i != -1:
+        lit.append(i)
+        i = buf.find(b"0.0000", i + 1)
+    if lit:
+        hits.append(np.asarray(lit, dtype=np.int64))
+    if not hits:
+        return set()
+    pos = np.concatenate(hits)
+    if pos.size == 0:
+        return set()
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum([len(o) for o in outs], out=offs[1:])
+    return set(np.unique(np.searchsorted(offs, pos, side="right") - 1).tolist())
+
+
+def _rebuild_arrow_batches(batches):
+    """mapInArrow rebuild: doc_id/span_offset pass through untouched as
+    Arrow arrays; data_json is parsed from BYTES (zero-copy binary view
+    of the string column — no utf-8 → str decode), extra_data is
+    filtered IN PLACE (orjson preserves the stored canonical key order,
+    and OPT_SORT_KEYS re-canonicalizes the rebuilt extra_data), and the
+    output string column is assembled straight from the serialized
+    bytes via Array.from_buffers — no pandas block, no per-row str."""
+    import pyarrow as pa
+
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        idx = batch.schema.get_field_index
+        djs = batch.column(idx("data_json")).cast(pa.binary()).to_pylist()
+        outs: list[bytes] = []
+        append = outs.append
+        loads, dumps = _orjson.loads, _orjson.dumps
+        opt = _orjson.OPT_SORT_KEYS
+        for dj in djs:
+            d = loads(dj)
+            extra = d.get("extra_data", {}) or {}
+            d["attributes"] = d.get("attributes", {}) or {}
+            d["entity_type"] = d.get("entity_type", "")
+            d["extra_data"] = {k: extra[k] for k in RT_EXTRA_KEYS
+                               if k in extra}
+            d["geometries"] = d.get("geometries", {}) or {}
+            d["handle"] = d.get("handle", "")
+            d["layer"] = d.get("layer", "")
+            d["name"] = d.get("name", "")
+            if len(d) != 7:  # stored payload carried extra top-level keys
+                d = {k: d[k] for k in ("attributes", "entity_type",
+                                       "extra_data", "geometries",
+                                       "handle", "layer", "name")}
+            append(dumps(d, option=opt))
+        # rows whose orjson rendering has a float-risk pattern re-dump via
+        # stdlib json — the canonical format (same rule as
+        # _canonical_dumps_fast, batched; risk is already established, so
+        # go straight to the stdlib serializer instead of retrying orjson)
+        for i in _risky_rows(outs, n):
+            d = loads(djs[i])
+            extra = d.get("extra_data", {}) or {}
+            outs[i] = json.dumps({
+                "attributes": d.get("attributes", {}) or {},
+                "entity_type": d.get("entity_type", ""),
+                "extra_data": {k: extra[k] for k in RT_EXTRA_KEYS
+                               if k in extra},
+                "geometries": d.get("geometries", {}) or {},
+                "handle": d.get("handle", ""),
+                "layer": d.get("layer", ""),
+                "name": d.get("name", ""),
+            }, ensure_ascii=False, sort_keys=True,
+                separators=(",", ":")).encode()
+        import numpy as np
+
+        data = b"".join(outs)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum([len(o) for o in outs], out=offs[1:])
+        refs = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offs.tobytes()), pa.py_buffer(data))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(idx("doc_id")), batch.column(idx("span_offset")),
+             refs],
+            names=["doc_id", "span_offset", "media_ref"])
+
+
 def _rebuild_batches(batches):
     for pdf in batches:
         refs = [_rebuild_one(dj) for dj in pdf["data_json"].tolist()]
@@ -109,9 +226,15 @@ def _rebuild_batches(batches):
 
 def rebuild_media_refs(entities: DataFrame) -> DataFrame:
     """entities → (doc_id, span_offset, media_ref) with the media_ref
-    payload re-serialized canonically from the stored data_json."""
-    return entities.select("doc_id", "span_offset", "data_json") \
-        .mapInPandas(_rebuild_batches, schema=_REF_SCHEMA)
+    payload re-serialized canonically from the stored data_json.
+
+    Arrow-native by default (see _rebuild_arrow_batches); the pandas twin
+    is kept for A/B equality testing, and is the only path when orjson is
+    unavailable (the batched fast path IS the orjson fast path)."""
+    src = entities.select("doc_id", "span_offset", "data_json")
+    if _orjson is None:  # pragma: no cover
+        return src.mapInPandas(_rebuild_batches, schema=_REF_SCHEMA)
+    return src.mapInArrow(_rebuild_arrow_batches, schema=_REF_SCHEMA)
 
 
 def reconstruct_documents(entities: DataFrame, texts: DataFrame) -> DataFrame:

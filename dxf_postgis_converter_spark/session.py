@@ -59,6 +59,18 @@ def get_spark(
         # hundreds of waves on 4k slots — same property, fine for Spark.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
+        # scan-parallelism floor ∝ cores (scale-adaptive, not a constant):
+        # Spark's split packing charges each file openCostInBytes (4m) and
+        # packs several small files per split, so a 64-file/213MB corpus
+        # planned only ~32 single-wave tasks at local[32] — the slowest
+        # task set the decode wall. The floor drives bytesPerCore below
+        # openCost so small files stop being packed together (64 files →
+        # 64 splits → 2 waves), while at 100 TB totalBytes/minPartitionNum
+        # far exceeds maxPartitionBytes and the clamp above still rules —
+        # the floor only ever ADDS parallelism on small inputs (guide §6).
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM",
+                               str(4 * _cpu_count())))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -82,12 +94,16 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _cpu_count() -> int:
+    """Core count the session is sized for (SPARK_GRAFT_CPUS, else all)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return int(cpus) if cpus else os.cpu_count() or 8
+    except ValueError:
+        return os.cpu_count() or 8
+
+
 def _default_shuffle_partitions() -> int:
     """Shuffle partitions ∝ cores (≈2x) so scaling N→4N keeps partition
     counts proportional — required for the ≥0.8 scaling-efficiency target."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    try:
-        n = int(cpus) if cpus else os.cpu_count() or 8
-    except ValueError:
-        n = os.cpu_count() or 8
-    return max(8, 2 * n)
+    return max(8, 2 * _cpu_count())
