@@ -364,6 +364,11 @@ _CONVERTERS = {
 }
 
 
+import struct as _struct
+
+from ..geometry.wkb import _HDR_LINE as _HL, _HDR_POLY as _HP
+
+
 def _encode(kind, coords):
     """-> (wkb bytes|None, geom_type str|None, bbox tuple|None)"""
     if kind is None:
@@ -372,6 +377,28 @@ def _encode(kind, coords):
         x, y, z = coords
         return wkb_point(x, y, z), "POINT", (x, y, x, y)
     if kind in ("line", "poly"):
+        if type(coords) is list and len(coords) <= 16:
+            # small-geometry fast path (LINE/LWPOLYLINE/3DFACE/LEADER…):
+            # a per-row np.asarray + two axis reductions cost ~2-3 µs
+            # more than plain Python at these sizes. Bit-identical: the
+            # floats are the same Python floats either way, struct.pack
+            # of float64 == ndarray.tobytes, and min/max pick the same
+            # values (NaN cannot appear: _extract_point floats come from
+            # finite JSON literals; a JSON NaN fails float() upstream
+            # and lands in the error channel).
+            xs = [c[0] for c in coords]
+            ys = [c[1] for c in coords]
+            bbox = (min(xs), min(ys), max(xs), max(ys))
+            if kind == "line":
+                flat = [v for c in coords for v in c]
+                return (_HL + _struct.pack("<I%dd" % (3 * len(coords)),
+                                           len(coords), *flat),
+                        "LINESTRING", bbox)
+            ring = coords if coords[0] == coords[-1] else coords + [coords[0]]
+            flat = [v for c in ring for v in c]
+            return (_HP + _struct.pack("<II%dd" % (3 * len(ring)),
+                                       1, len(ring), *flat),
+                    "POLYGON", bbox)
         a = np.asarray(coords, dtype=np.float64)
         lo, hi = a.min(axis=0), a.max(axis=0)  # one reduction pair, not four
         bbox = (lo[0], lo[1], hi[0], hi[1])
@@ -513,6 +540,19 @@ def _decode_batches(batches, emit_media_ref: bool = True):
         yield pd.DataFrame(data, columns=cols)
 
 
+def _bytes_string_array(vals: list):
+    """Arrow string array from a list of utf-8 bytes objects, assembled
+    via from_buffers (no per-value Python str, no re-validation — the
+    bytes came from a validated Arrow string column or a JSON encoder)."""
+    import pyarrow as pa
+
+    data = b"".join(vals)
+    offs = np.zeros(len(vals) + 1, dtype=np.int32)
+    np.cumsum([len(v) for v in vals], out=offs[1:])
+    return pa.StringArray.from_buffers(
+        len(vals), pa.py_buffer(offs.tobytes()), pa.py_buffer(data))
+
+
 def _decode_arrow_batches(batches, emit_media_ref: bool = True):
     """mapInArrow twin of _decode_batches: same per-payload conversion,
     but rows enter/leave as pyarrow RecordBatches — no pandas block
@@ -537,7 +577,13 @@ def _decode_arrow_batches(batches, emit_media_ref: bool = True):
             continue
         idx = batch.schema.get_field_index
         doc_ids = batch.column(idx("doc_id")).to_pylist()
-        refs = batch.column(idx("media_ref")).to_pylist()
+        # parse from BYTES (binary view of the string column): skips the
+        # utf-8 → Python-str decode that to_pylist() on a string column
+        # pays, and orjson parses bytes directly. to_pylist() COPIES into
+        # Python bytes — the output batch must never reference the input
+        # batch's buffers (keeps the IPC writer's memory lifetime
+        # independent of the reader's).
+        refs = batch.column(idx("media_ref")).cast(pa.binary()).to_pylist()
         offsets = batch.column(idx("offset")).to_pylist()
         recs = []
         append = recs.append
@@ -552,7 +598,9 @@ def _decode_arrow_batches(batches, emit_media_ref: bool = True):
                   pa.array(offsets, pa.int32())]
         for f in list(pa_schema)[2:]:
             if f.name == "media_ref":
-                arrays.append(pa.array(refs, pa.string()))
+                # fresh buffers (bytes are copies, offsets built here) —
+                # values identical to the input strings
+                arrays.append(_bytes_string_array(refs))
             else:
                 arrays.append(pa.array(cols[f.name], f.type))
         yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)

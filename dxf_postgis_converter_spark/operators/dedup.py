@@ -142,7 +142,14 @@ def minhash_lsh_pairs(
     want = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < want:
         src = src.repartition(want, F.col(id_col))
-    base = src.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
+    # lazy checkpoint: the gram arrays feed the signature aggregate AND
+    # both sides of the verify join — without the barrier the shingle
+    # expressions re-execute once per consumer (3× total; guide §3.3
+    # "materialise an intermediate"). Lazy, so the first downstream
+    # action materializes it exactly once.
+    base = src.select(F.col(id_col),
+                      word_shingles(F.col(text_col), shingle_n).alias("_grams")) \
+        .localCheckpoint(eager=False)
     # signatures via explode + hash-aggregate: one physical sig row per doc
     # (map-side partial min makes the shuffle one 64-long row per doc).
     # This materialization barrier matters: a pure-expression sig column
@@ -156,7 +163,13 @@ def minhash_lsh_pairs(
     sig = (eg.groupBy(id_col)
            .agg(*[F.min(F.xxhash64(F.lit(k), "_gh")).alias(f"_h{k}")
                   for k in range(num_hashes)])
-           .select(F.col(id_col), F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig")))
+           .select(F.col(id_col), F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig"))
+           # one row per doc; checkpointed BEFORE the band explode so the
+           # cache holds each sig once, not bands× — the hot-bucket count,
+           # the a-side and the b-side all re-derive their (cheap) band
+           # columns from this one materialization instead of re-running
+           # the whole shingle→explode→hash→aggregate tower per consumer
+           .localCheckpoint(eager=False))
     sig = sig.withColumn("_band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
     sig = sig.withColumn("_bhash", F.xxhash64(F.slice(F.col("sig"), F.col("_band") * r + 1, r)))
     buckets = sig.select(id_col, "sig", "_band", "_bhash")
@@ -209,8 +222,15 @@ def ngram_jaccard_pairs(
     want = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < want:  # small-file scan: see minhash note
         src = src.repartition(want, F.col(id_col))
-    base = src.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_grams"))
-    e = base.select(id_col, F.explode("_grams").alias("_g"))
+    # lazy checkpoints (same rationale as minhash_lsh_pairs): the gram
+    # arrays are consumed by the inverted index AND both verify sides,
+    # and the exploded index by the stop-gram count AND both candidate
+    # sides — barriers make each tower execute once
+    base = src.select(F.col(id_col),
+                      word_shingles(F.col(text_col), shingle_n).alias("_grams")) \
+        .localCheckpoint(eager=False)
+    e = base.select(id_col, F.explode("_grams").alias("_g")) \
+        .localCheckpoint(eager=False)
     df_cap = e.groupBy("_g").count().filter(F.col("count") > max_gram_df).drop("count")
     e = e.join(F.broadcast(df_cap), "_g", "left_anti")
     a = e.select(F.col(id_col).alias("id_a"), "_g")
@@ -251,7 +271,11 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                   max_hamming: int = 3, shingle_n: int = 4) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via 4-block pigeonhole:
     any pair within distance 3 shares at least one exact 16-bit block."""
-    s = simhash_signatures(docs, id_col, text_col, shingle_n)
+    # lazy checkpoint: the signature stage is a Python (mapInPandas) pass —
+    # without the barrier it executes once per self-join side (2× the
+    # whole Python boundary; guide §4)
+    s = simhash_signatures(docs, id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=False)
     block_vals = F.array(*[
         F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
     blocks = s.select(id_col, "simhash", F.posexplode(block_vals).alias("_blk", "_bval"))
@@ -321,8 +345,14 @@ def embedding_neardup_pairs(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
             lambda b: F.array_join(F.slice(bits, b * n_planes + F.lit(1),
                                            n_planes), ""))
+        # lazy checkpoint: the b·r hyperplane dot products per vector are
+        # the expensive tower here, and es is consumed by the bucket-size
+        # count, the hot semi-join, the rep aggregate and both candidate
+        # sides — the barrier runs the tower once (rows are only
+        # (id, band, sig) — the vectors themselves are NOT cached)
         es = e.select(F.col(id_col),
-                      F.posexplode(band_sigs).alias("_band", "_sig"))
+                      F.posexplode(band_sigs).alias("_band", "_sig")) \
+            .localCheckpoint(eager=False)
         sizes = es.groupBy("_band", "_sig").count()
         hot = sizes.filter(F.col("count") > max_bucket).drop("count")
         cold = es.join(F.broadcast(hot), ["_band", "_sig"], "left_anti")

@@ -129,7 +129,7 @@ def _inherit_byblock(attrs: dict, parent_attrs: dict) -> dict:
 
 def expand_payload(payload: dict, max_depth: int = 32) -> list[tuple]:
     """One decoded INSERT payload (data_json dict) → virtual-entity
-    records ``(path, depth, entity_type, name, layer, wkb, geom_type,
+    records ``(path, depth, entity_type, layer, wkb, geom_type,
     xmin, ymin, xmax, ymax, data_json, error)``.
 
     Pure function (unit-testable without Spark). Nested INSERTs
@@ -149,6 +149,13 @@ def expand_payload(payload: dict, max_depth: int = 32) -> list[tuple]:
 def _walk(block_entities, xf: _Xform, parent_attrs: dict, path: str,
           depth: int, max_depth: int, out: list, insert_layer: str):
     if depth > max_depth:
+        if block_entities:
+            # no-silent-drops contract: trimming a non-empty closure must
+            # leave an ERROR record, like the corrupt-payload path
+            out.append((path, depth, "INSERT", str(insert_layer or ""),
+                        None, None, None, None, None, None, None,
+                        f"max_depth {max_depth} exceeded at {path!r}: "
+                        f"{len(block_entities)} block entities not expanded"))
         return
     for i, be in enumerate(block_entities):
         etype = str(be.get("dxftype", "UNKNOWN"))
@@ -221,8 +228,11 @@ def _expand_batches(batches, max_depth: int):
         for doc_id, off, handle, dj in zip(
                 pdf["doc_id"], pdf["span_offset"], pdf["handle"],
                 pdf["data_json"]):
-            off = None if off is None else int(off)
-            if dj is None:
+            # pd.isna, not `is None`: a null IntegerType column arrives
+            # from Arrow as float64 NaN, and int(NaN) raises — killing
+            # the whole batch against the per-row containment contract
+            off = None if pd.isna(off) else int(off)
+            if dj is None or (not isinstance(dj, str) and pd.isna(dj)):
                 continue  # decode already reported this row's error
             try:
                 payload = _loads(dj)
@@ -236,7 +246,13 @@ def _expand_batches(batches, max_depth: int):
                 continue
             for rec in expand_payload(payload, max_depth=max_depth):
                 rows.append((doc_id, off, handle) + rec)
-        yield pd.DataFrame(rows, columns=cols)
+        if rows:
+            # column-wise assembly: pd.DataFrame over a row list re-infers
+            # per cell; zip-transpose + per-column construction is ~2-3x
+            # faster at these widths (same trick as decode's batch loop)
+            yield pd.DataFrame(dict(zip(cols, zip(*rows))), columns=cols)
+        else:
+            yield pd.DataFrame({c: [] for c in cols}, columns=cols)
 
 
 def expand_inserts(entities: DataFrame, max_depth: int = 32) -> DataFrame:

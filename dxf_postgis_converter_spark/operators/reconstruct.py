@@ -211,8 +211,13 @@ def _rebuild_arrow_batches(batches):
         np.cumsum([len(o) for o in outs], out=offs[1:])
         refs = pa.StringArray.from_buffers(
             n, pa.py_buffer(offs.tobytes()), pa.py_buffer(data))
+        # deep-copy the passthrough columns (take allocates fresh
+        # buffers): the output batch must not reference the input
+        # batch's IPC-reader-owned memory
+        take_idx = pa.array(np.arange(n, dtype=np.int64))
         yield pa.RecordBatch.from_arrays(
-            [batch.column(idx("doc_id")), batch.column(idx("span_offset")),
+            [batch.column(idx("doc_id")).take(take_idx),
+             batch.column(idx("span_offset")).take(take_idx),
              refs],
             names=["doc_id", "span_offset", "media_ref"])
 

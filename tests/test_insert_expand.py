@@ -154,7 +154,13 @@ def test_max_depth_bounds_expansion():
         nest = _be("INSERT", {"insert": [0.0, 0.0, 0.0], "name": "N"},
                    block_name="N", block_entities=[nest])
     assert len(expand_payload(_payload([nest]))) == 1
-    assert expand_payload(_payload([nest]), max_depth=3) == []
+    # depth-trimmed content is NOT silently dropped (r8, ADVICE r7): the
+    # bound leaves exactly one ERROR record naming the trimmed path
+    trimmed = expand_payload(_payload([nest]), max_depth=3)
+    assert len(trimmed) == 1
+    rec = trimmed[0]
+    assert rec[2] == "INSERT" and rec[4] is None  # no geometry
+    assert "max_depth 3 exceeded" in rec[-1]
 
 
 def test_expand_inserts_spark_no_shuffle(spark):
