@@ -225,14 +225,17 @@ def _expand_batches(batches, max_depth: int):
     cols = [f.name for f in EXPANDED_SCHEMA.fields]
     for pdf in batches:
         rows = []
-        for doc_id, off, handle, dj in zip(
+        # null masks once per batch (vectorized), not pd.isna per row: a
+        # null IntegerType column arrives from Arrow as float64 NaN, and
+        # int(NaN) raises — killing the whole batch against the per-row
+        # containment contract
+        off_na = pdf["span_offset"].isna().to_numpy()
+        dj_na = pdf["data_json"].isna().to_numpy()
+        for i, (doc_id, off, handle, dj) in enumerate(zip(
                 pdf["doc_id"], pdf["span_offset"], pdf["handle"],
-                pdf["data_json"]):
-            # pd.isna, not `is None`: a null IntegerType column arrives
-            # from Arrow as float64 NaN, and int(NaN) raises — killing
-            # the whole batch against the per-row containment contract
-            off = None if pd.isna(off) else int(off)
-            if dj is None or (not isinstance(dj, str) and pd.isna(dj)):
+                pdf["data_json"])):
+            off = None if off_na[i] else int(off)
+            if dj_na[i]:
                 continue  # decode already reported this row's error
             try:
                 payload = _loads(dj)

@@ -697,9 +697,14 @@ def knn_join(
     # single-threaded, which measured as a per-probe cost that scaled
     # with input but not with cores (f 6.5s→11.7s going 100k→200k
     # probes, capping 2→8 efficiency at ~0.76). One narrow shuffle of
-    # the small probe table restores per-core balance.
+    # the small probe table restores per-core balance — UNLESS the
+    # dispatch count already proves the exploded ring will be broadcast
+    # (round 1 builds it in one tiny task either way), where the
+    # repartition is a pure extra shuffle + a wide no-op job per call.
     par = spark.sparkContext.defaultParallelism
-    if p0.rdd.getNumPartitions() < par:
+    ring_broadcastable = (n_probes_hint is not None
+                          and int(n_probes_hint) * 9 <= 400_000)
+    if not ring_broadcastable and p0.rdd.getNumPartitions() < par:
         p0 = p0.repartition(par * 4)  # 4 task waves smooth stragglers
     if depth_df is not None:
         p1 = (p0.withColumn("_pc", cell_col(F.col("p_x"), F.col("p_y"), res))
@@ -820,6 +825,12 @@ def knn_join(
             # known-small probe ring (by-depth state counts, or the auto
             # dispatch's probe count on the first round): broadcast it
             exploded = F.broadcast(exploded)
+        elif ring_broadcastable and active.rdd.getNumPartitions() < par:
+            # the initial repartition was skipped on the broadcast-ring
+            # promise; a later ring escalation outgrew it — restore the
+            # per-core balance before the wide explode (rare tail path)
+            exploded = active.repartition(par * 4).withColumn(
+                "cell", F.explode(k_ring_col(F.col(f"p_cell_{res_i}"), r)))
         elif n_targets is not None and n_targets <= 1_500_000:
             # neither side shuffles: a ~1M-target table is ≲50 MB keyed
             # (id, x, y, cell) — broadcasting it streams the big probe

@@ -63,14 +63,17 @@ def get_spark(
         # Spark's split packing charges each file openCostInBytes (4m) and
         # packs several small files per split, so a 64-file/213MB corpus
         # planned only ~32 single-wave tasks at local[32] — the slowest
-        # task set the decode wall. The floor drives bytesPerCore below
-        # openCost so small files stop being packed together (64 files →
-        # 64 splits → 2 waves), while at 100 TB totalBytes/minPartitionNum
-        # far exceeds maxPartitionBytes and the clamp above still rules —
-        # the floor only ever ADDS parallelism on small inputs (guide §6).
+        # task set the decode wall (measured 7.8s → 5.0s with the floor).
+        # 2× cores, not more: it un-packs the small files (64 files →
+        # 64 splits → 2 waves for the Python-heavy decode) without
+        # shredding the light JVM scans into 128 scheduling-bound tasks
+        # (a 4× floor measured +0.3-0.6s on EVERY small stage). At 100 TB
+        # totalBytes/minPartitionNum far exceeds maxPartitionBytes and
+        # the clamp above still rules — the floor only ever ADDS
+        # parallelism on small inputs (guide §6).
         .config("spark.sql.files.minPartitionNum",
                 os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM",
-                               str(4 * _cpu_count())))
+                               str(2 * _cpu_count())))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
