@@ -267,12 +267,12 @@ _TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
 _DISPLACED: list[str] = []
 
 # Registered + oracle'd + selfcheck-covered, but DEFERRED from window
-# auto-enrollment for ONE round: the r7 rotation is exactly saturated
-# (VERDICT r6 item 1 — all 50 slots owed to r5-latest queries, zero new
-# window entries), so a brand-new registration would evict a query past
-# its 2-round freshness bound. r8 MUST empty this set so the deferred
-# queries auto-enroll into the next driver window.
-_DEFER_AUTO_ENROLL = frozenset({"q_insert_expand"})
+# auto-enrollment for ONE round. r7 deferred q_insert_expand (the r7
+# rotation was exactly saturated); r8 empties the set as promised —
+# q_insert_expand auto-fronts into the r8 window (mechanism in
+# queries()), displacing exactly the deliberately-last front entry
+# (q_circle_tessellation_bbox, see front list note).
+_DEFER_AUTO_ENROLL = frozenset()
 
 _EVER_GATED = frozenset([
     # r5 auto-enrolled (rows landed in CORRECTNESS_r05) + r6 hand-fronted
@@ -1354,30 +1354,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate samples the FIRST 50 registered
     # queries (r1/r2 evidence: checked set == registration order head).
     # Rotation policy (VERDICT r3 item 1): every query's most recent
-    # driver row must stay ≤2 rounds old. Round 7 (VERDICT r6 item 1):
-    # the registry sits at the 2x-window saturation point (100 queries,
-    # 50-slot window), so the window is EXACTLY the 50 queries whose
-    # latest driver row is r5 — the keys of CORRECTNESS_r05.json — and
-    # this round registers ZERO new queries (any registration would
-    # displace an r5-latest one past the freshness bound).
+    # driver row must stay ≤2 rounds old. Round 8 (VERDICT r7 item 1):
+    # rotate the 50 queries whose latest driver row is r6 — the keys of
+    # CORRECTNESS_r06.json — back into the window. 51 candidates chase 50
+    # slots this round (the deferred q_insert_expand auto-fronts as
+    # unseen), so ONE r6 query is displaced to r9; the displacement is
+    # deliberate: q_circle_tessellation_bbox sits LAST so the auto-enroll
+    # trim takes exactly it — the full-circle kernel is the simplest of
+    # the four tessellation-bbox near-twins (arc/ellipse/helix keep their
+    # distinct parameterizations in-window) and its fixed cos/sin grid is
+    # additionally pinned by tests and the r7 SVG/decode rows.
     front = [
-        # last driver row r5 — rotate back into the window (50)
-        "q_adaptive_cell_stats", "q_ann_topk", "q_area_rect_outside",
-        "q_audio_stats", "q_block_closure", "q_bylayer_style",
-        "q_catalog_columns", "q_clean_funnel", "q_content_sizes",
-        "q_dedup_keep", "q_embedding_neardup", "q_embedding_neardup_lsh",
-        "q_embedding_norms", "q_events_dedup_stream", "q_events_hourly_stream",
-        "q_exact_dup_groups", "q_export_roundtrip", "q_fingerprints",
-        "q_frame_sample", "q_geom_type_dist", "q_hatch_signatures",
-        "q_helmert", "q_knn_dense", "q_knn_points", "q_lang_id",
-        "q_layer_fingerprints", "q_layer_reconcile", "q_lsh_ann_topk",
-        "q_lwpolyline_signature", "q_merge_overwrite_objects",
-        "q_minhash_pairs", "q_ngram_jaccard_pairs", "q_pack_sequences",
-        "q_pii_redaction", "q_pip_poly_zones", "q_quality", "q_raster_align",
-        "q_repetition", "q_rolling_fingerprints", "q_roundtrip_mismatches",
-        "q_save_selected", "q_sessionize", "q_simhash_pairs",
-        "q_snapshot_merge", "q_stratified_sample", "q_svg_previews",
-        "q_tile_pyramid", "q_token_stats", "q_video_frames", "q_word_tokens",
+        # last driver row r6 — rotate back into the window (50)
+        "q_3dface_triangle_rule", "q_anti_join", "q_arc_tessellation_bbox",
+        "q_area_circle_lines", "q_area_rect_points", "q_bbox_join_zones",
+        "q_contamination", "q_counts_exists",
+        "q_dedup_groups", "q_ellipse_tessellation_bbox",
+        "q_entity_type_layer_counts",
+        "q_events_hourly", "q_except", "q_export_mleader",
+        "q_filter_project", "q_handle_norm", "q_hatch_paths",
+        "q_helix_tessellation_bbox", "q_image_features_sample",
+        "q_insert_attrib_dist",
+        "q_ivf_topk", "q_join_customer_orders", "q_lineage_resume",
+        "q_merge_add_objects", "q_merge_overwrite_layers",
+        "q_multileader_signature",
+        "q_orderby_limit", "q_payload_sizes", "q_pip_holed_multi",
+        "q_pip_rect_zones", "q_pip_salted", "q_pip_stream",
+        "q_pricing_summary", "q_ray_xline_endpoints", "q_resize_images",
+        "q_selection_cascade", "q_selection_propagation",
+        "q_selection_subtract",
+        "q_semi_join", "q_span_kind_counts", "q_spans_per_doc",
+        "q_table_names", "q_text_color_dist", "q_text_span_tokens",
+        "q_tile_counts_points", "q_tile_zxy", "q_topk_window",
+        "q_union_distinct", "q_upsert_merge",
+        # deliberately last: displaced to r9 by q_insert_expand's
+        # auto-enrollment (recorded in _DISPLACED)
+        "q_circle_tessellation_bbox",
     ]
     # the gate samples exactly this many queries — a longer front would
     # silently push its own tail out of the window

@@ -59,21 +59,20 @@ def get_spark(
         # hundreds of waves on 4k slots — same property, fine for Spark.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
-        # scan-parallelism floor ∝ cores (scale-adaptive, not a constant):
-        # Spark's split packing charges each file openCostInBytes (4m) and
-        # packs several small files per split, so a 64-file/213MB corpus
-        # planned only ~32 single-wave tasks at local[32] — the slowest
-        # task set the decode wall (measured 7.8s → 5.0s with the floor).
-        # 2× cores, not more: it un-packs the small files (64 files →
-        # 64 splits → 2 waves for the Python-heavy decode) without
-        # shredding the light JVM scans into 128 scheduling-bound tasks
-        # (a 4× floor measured +0.3-0.6s on EVERY small stage). At 100 TB
-        # totalBytes/minPartitionNum far exceeds maxPartitionBytes and
-        # the clamp above still rules — the floor only ever ADDS
-        # parallelism on small inputs (guide §6).
+        # Scan-parallelism floor: MEASURED AND REJECTED in r8, recorded
+        # here so it is not retried. A minPartitionNum of 2-4× cores
+        # un-packs the 64-file/213MB corpus into 64-128 splits; that
+        # looked like a decode win under a noisy first measurement, but
+        # controlled A/B (same session / order-swapped) showed 64-split
+        # decode is SLOWER than the default 32 (4.5s vs 3.6-4.0s noop —
+        # per-task overhead beats wave smoothing when tasks are already
+        # balanced) and the 64-file entities table it writes costs
+        # +0.2-0.5s on EVERY downstream scan (per-file reader init ×2).
+        # The env override remains for corpora whose file sizes genuinely
+        # skew; default = Spark's defaultParallelism behaviour.
         .config("spark.sql.files.minPartitionNum",
                 os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM",
-                               str(2 * _cpu_count())))
+                               str(_cpu_count())))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
